@@ -1,0 +1,88 @@
+"""Headline benchmark: W-HMR inference throughput on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": "person_crops_per_sec_per_chip", "value": N, "unit": "crops/s",
+   "vs_baseline": N / 1000}
+
+Baseline: the rebuild north star from BASELINE.md — >= 1000 person-crops/sec/
+chip on TPU v5e for the full WHMR forward (ViT-B backbone, 3 MAF steps,
+Tz head, global-orient head, 4 SMPL forwards per crop). The PyTorch
+reference measures the same quantity as demo "W-HMR FPS" (whmr_demo.py:81-88)
+but stores no number.
+
+Methodology notes for this host: the axon TPU tunnel executes asynchronously
+and `block_until_ready` does not synchronize, so K forwards are chained
+*inside* one jit (data dependency through the loop carry) and a scalar is
+read back — wall time / K is a faithful per-forward latency that amortizes
+the tunnel round trip. Params/consts are passed as jit arguments (closing
+over them embeds 450 MB of constants and overflows the remote-compile
+request).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from whmr_tpu.config import WHMRConfig
+    from whmr_tpu.data.assets import synthetic_smpl_assets
+    from whmr_tpu.models.regressor import body_consts_from_assets
+    from whmr_tpu.models.whmr import WHMR
+    from whmr_tpu.utils.testing import make_example_inputs
+
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    iters = 10
+
+    cfg = WHMRConfig()
+    consts = body_consts_from_assets(synthetic_smpl_assets())
+    model = WHMR(cfg, dtype=jnp.bfloat16)
+    inp = make_example_inputs(cfg, batch)
+    args = {k: jnp.asarray(v) for k, v in inp.items()}
+
+    variables = jax.jit(
+        lambda c, a: model.init({"params": jax.random.PRNGKey(0)}, c, **a)
+    )(consts, args)
+
+    def fwd(v, c, a):
+        out = model.apply(v, c, **a)
+        return out["smpl_out"][-1]["verts"]
+
+    @jax.jit
+    def chained(v, c, a):
+        def body(i, carry):
+            aa = dict(a)
+            aa["x"] = a["x"] + (carry * 0).astype(a["x"].dtype)
+            return carry + jnp.sum(fwd(v, c, aa).astype(jnp.float32))
+
+        return lax.fori_loop(0, iters, body, jnp.float32(0))
+
+    # compile + warm up
+    float(chained(variables, consts, args))
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        float(chained(variables, consts, args))
+    dt = (time.perf_counter() - t0) / (reps * iters)
+    crops_per_sec = batch / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "person_crops_per_sec_per_chip",
+                "value": round(crops_per_sec, 1),
+                "unit": "crops/s",
+                "vs_baseline": round(crops_per_sec / 1000.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

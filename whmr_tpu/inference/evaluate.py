@@ -1,0 +1,136 @@
+"""Benchmark evaluation: MPJPE / PA-MPJPE / PVE over npz-label datasets.
+
+Functional equivalent of reference `evaluate/eval.py:65-361`
+(`run_evaluation`) and the in-loop validation (core/trainer.py:753-907),
+restructured for TPU:
+
+- The whole metric pipeline (GT SMPL forward, H36M joint regression, pelvis
+  centering, Procrustes alignment) runs inside one jitted eval-step; the
+  per-sample numpy SVD loop of the reference (pose_utils.py:60-65) becomes a
+  batched device SVD.
+- Metrics accumulate on device; one scalar transfer per batch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from whmr_tpu.config import WHMRConfig
+from whmr_tpu.data.assets import H36M_TO_J14
+from whmr_tpu.models.regressor import BodyConsts
+from whmr_tpu.models.smpl import smpl_forward, select_h36m_j14
+from whmr_tpu.models.whmr import WHMR
+from whmr_tpu.ops.procrustes import batch_compute_similarity_transform
+from whmr_tpu.ops.rotation import batch_rodrigues
+
+
+@dataclasses.dataclass
+class EvalMetrics:
+    mpjpe_sum: float = 0.0
+    pa_mpjpe_sum: float = 0.0
+    pve_sum: float = 0.0
+    count: int = 0
+
+    def update(self, mpjpe_b, pa_b, pve_b, n):
+        self.mpjpe_sum += float(mpjpe_b)
+        self.pa_mpjpe_sum += float(pa_b)
+        self.pve_sum += float(pve_b)
+        self.count += int(n)
+
+    def result(self) -> Dict[str, float]:
+        c = max(self.count, 1)
+        return {
+            # reported in mm, matching eval.py:322-331 prints (x1000)
+            "mpjpe": self.mpjpe_sum / c * 1000.0,
+            "pa_mpjpe": self.pa_mpjpe_sum / c * 1000.0,
+            "pve": self.pve_sum / c * 1000.0,
+            "count": self.count,
+        }
+
+
+def make_eval_step(cfg: WHMRConfig, model: WHMR):
+    """Jitted eval step: batch -> per-batch (sum_mpjpe, sum_pa, sum_pve, n).
+
+    Mirrors eval.py:155-228: model fwd with GT cam_rotmat; world-frame
+    (global) vertices; J14 joints via the H36M regressor, pelvis-centered;
+    gendered GT vertices come precomputed in the batch.
+    """
+
+    def step(variables, consts: BodyConsts, batch):
+        preds = model.apply(
+            variables,
+            consts,
+            batch["img"],
+            batch["center"],
+            batch["scale"],
+            batch["bbox_height"],
+            batch["orig_shape"],
+            batch["bbox_info"],
+            train=False,
+            j_regressor=consts.j_regressor_h36m,
+            cam_rotmat=batch.get("cam_rotmat"),
+        )
+        pred_verts = preds["global_output"]["global_verts"]
+        pred_j14 = preds["global_output"]["global_kp_3d"]  # pelvis-centered J14
+
+        # GT: either direct vertices (3dpw gendered) or pose/betas.
+        if "gt_vertices" in batch:
+            gt_verts = batch["gt_vertices"]
+        else:
+            gt_rotmats = batch_rodrigues(batch["pose"].reshape(-1, 3)).reshape(-1, 24, 3, 3)
+            gt_verts = smpl_forward(consts.smpl, batch["betas"], gt_rotmats).vertices
+        gt_j14 = select_h36m_j14(consts.j_regressor_h36m, gt_verts)
+
+        valid = batch["valid"].astype(jnp.float32)
+        err = jnp.sqrt(jnp.sum((pred_j14 - gt_j14) ** 2, axis=-1)).mean(axis=-1)
+        aligned = batch_compute_similarity_transform(pred_j14, gt_j14)
+        err_pa = jnp.sqrt(jnp.sum((aligned - gt_j14) ** 2, axis=-1)).mean(axis=-1)
+        # PVE on pelvis-aligned vertices (eval.py:204-210 subtracts pelvis).
+        pred_pel = select_pelvis(consts, pred_verts)
+        gt_pel = select_pelvis(consts, gt_verts)
+        pve = jnp.sqrt(
+            jnp.sum(((pred_verts - pred_pel) - (gt_verts - gt_pel)) ** 2, axis=-1)
+        ).mean(axis=-1)
+        return (
+            jnp.sum(err * valid),
+            jnp.sum(err_pa * valid),
+            jnp.sum(pve * valid),
+            jnp.sum(valid),
+        )
+
+    return jax.jit(step)
+
+
+def select_pelvis(consts: BodyConsts, verts: jnp.ndarray) -> jnp.ndarray:
+    from whmr_tpu.models.smpl import vertices2joints
+
+    joints = vertices2joints(consts.j_regressor_h36m, verts)
+    return joints[:, :1]
+
+
+def run_evaluation(
+    cfg: WHMRConfig,
+    model: WHMR,
+    variables,
+    consts: BodyConsts,
+    batches: Iterable[Dict[str, jnp.ndarray]],
+    log_every: int = 10,
+) -> Dict[str, float]:
+    """Drive the eval loop over an iterable of device-ready batches."""
+    step = make_eval_step(cfg, model)
+    metrics = EvalMetrics()
+    for i, batch in enumerate(batches):
+        s_mpjpe, s_pa, s_pve, n = step(variables, consts, batch)
+        metrics.update(s_mpjpe, s_pa, s_pve, n)
+        if log_every and (i + 1) % log_every == 0:
+            r = metrics.result()
+            print(
+                f"[eval] {metrics.count} samples  MPJPE {r['mpjpe']:.2f}  "
+                f"PA-MPJPE {r['pa_mpjpe']:.2f}  PVE {r['pve']:.2f}"
+            )
+    return metrics.result()

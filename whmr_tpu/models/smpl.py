@@ -49,7 +49,6 @@ class SMPLParams(NamedTuple):
     j_regressor_extra: jnp.ndarray  # (9, 6890)
     vertex_joint_ids: jnp.ndarray   # (21,)
     joint_map: jnp.ndarray          # (49,)
-    parents: np.ndarray             # static (host) — drives the unrolled chain
 
 
 def smpl_params_from_assets(assets: SMPLAssets, dtype=jnp.float32) -> SMPLParams:
@@ -62,7 +61,6 @@ def smpl_params_from_assets(assets: SMPLAssets, dtype=jnp.float32) -> SMPLParams
         j_regressor_extra=jnp.asarray(assets.j_regressor_extra, dtype),
         vertex_joint_ids=jnp.asarray(assets.vertex_joint_ids, jnp.int32),
         joint_map=jnp.asarray(assets.joint_map, jnp.int32),
-        parents=np.asarray(assets.parents),
     )
 
 
@@ -104,11 +102,15 @@ def smpl_forward(
         pose_feature, params.posedirs, precision=precision or _HI
     ).reshape(b, -1, 3)
 
-    # 4. Kinematic chain — 24 fixed steps, unrolled at trace time (parents are
-    # static python ints; no scan needed for a 24-long chain).
-    parents = params.parents
+    # 4. Kinematic chain — 24 fixed steps, unrolled at trace time. The
+    # parent table is a topological constant of the SMPL family (identical
+    # for every gender/model file), so it is baked in statically rather than
+    # carried in the traced pytree.
+    from whmr_tpu.data.assets import SMPL_PARENTS
+
+    parents = SMPL_PARENTS
     rel_j = j_rest - jnp.where(
-        (jnp.asarray(parents) >= 0)[None, :, None],
+        (parents >= 0)[None, :, None],
         j_rest[:, np.maximum(parents, 0)],
         0.0,
     )

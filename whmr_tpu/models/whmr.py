@@ -1,0 +1,296 @@
+"""The full W-HMR graph: backbone -> deconv pyramid -> MAF loop -> heads.
+
+TPU-native re-implementation of reference `models/whmr.py:308-678` (WHMR) as
+one flax module whose apply is a single jittable program:
+
+  1. CamCalib on the full image -> pitch/roll -> cam_rotmat (whmr.py:509-522)
+  2. Backbone (ViT-B 16x12x768 or ResNet50 8x8x2048) on the person crop
+  3. Mean-parameter SMPL init (whmr.py:550)
+  4. Three deconv pyramid levels feeding three MAF steps (whmr.py:560-564)
+  5. Tz transformer head -> per-sample focal length (whmr.py:566-577)
+  6. MAF loop: grid sample (step 0) / 67-marker mesh-aligned sample (steps
+     1-2) -> residual SMPL regression (whmr.py:580-627)
+  7. Global-orientation regressor -> world-frame SMPL (whmr.py:630-654)
+  8. IUV / depth auxiliary heads (whmr.py:656-662)
+
+Fixes vs. the shipped reference (documented deviations, SURVEY.md §7
+'bug-compat decisions'):
+- forward returns BOTH the training out_list and the demo vis_dict; the
+  reference returns only vis_dict with the training return commented out
+  (whmr.py:676-678), leaving trainer/eval broken.
+- `render_rotmat` is always defined (identity/cam_rotmat when CamCalib is
+  skipped); the reference NameErrors in that branch (whmr.py:671).
+"""
+
+from __future__ import annotations
+
+from dataclasses import field
+from typing import Any, Dict, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from whmr_tpu.config import WHMRConfig
+from whmr_tpu.models.heads import DepthHead, IUVHead, TzHead
+from whmr_tpu.models.layers import DeconvBlock
+from whmr_tpu.models.maf import MAFExtractor
+from whmr_tpu.models.regressor import (
+    BodyConsts,
+    CamState,
+    GlobalOrientRegressor,
+    Regressor,
+    forward_init,
+)
+from whmr_tpu.models.resnet import CamCalibNet, ResNetBackbone
+from whmr_tpu.models.smpl import smpl_forward, select_h36m_j14
+from whmr_tpu.models.vit import ViTBackbone
+from whmr_tpu.ops.camera import decode_cam_angles
+from whmr_tpu.ops.rotation import euler_to_rotmat, rotmat_to_angle_axis
+
+
+def make_points_grid(grid_hw) -> np.ndarray:
+    """Fixed 2D sample grid of MAF step 0 (whmr.py:345-347).
+
+    grid_hw = (grid_width, grid_height) per the reference naming: xv spans
+    `grid_width` values, yv spans `grid_height`; 'ij' meshgrid then flatten.
+    """
+    gw, gh = grid_hw
+    xv, yv = np.meshgrid(
+        np.linspace(-1, 1, gw, dtype=np.float32),
+        np.linspace(-1, 1, gh, dtype=np.float32),
+        indexing="ij",
+    )
+    return np.stack([xv.reshape(-1), yv.reshape(-1)], axis=-1)  # (gw*gh, 2)
+
+
+class WHMR(nn.Module):
+    cfg: WHMRConfig
+    dtype: Any = jnp.float32
+    bn_axis_name: Optional[str] = None
+
+    def setup(self):
+        c = self.cfg
+        if c.pymaf.backbone == "vitpose":
+            self.feature_extractor = ViTBackbone(c.vit, dtype=self.dtype)
+        else:
+            self.feature_extractor = ResNetBackbone(
+                dtype=self.dtype, bn_axis_name=self.bn_axis_name
+            )
+
+        n_iter = c.pymaf.n_iter
+        self.deconv_blocks = [
+            DeconvBlock(
+                c.deconv.num_filters[i],
+                kernel=c.deconv.num_kernels[i],
+                use_bias=c.deconv.with_bias,
+                dtype=self.dtype,
+                bn_axis_name=self.bn_axis_name,
+                name=f"deconv{i}",
+            )
+            for i in range(c.deconv.num_layers)
+        ]
+        self.maf_extractors = [
+            MAFExtractor(
+                mlp_dim=tuple(c.pymaf.mlp_dim),
+                img_res=c.img_res,
+                dtype=self.dtype,
+                name=f"maf{i}",
+            )
+            for i in range(n_iter)
+        ]
+        self.regressors = [
+            Regressor(
+                img_res=c.img_res,
+                stage=c.train.stage,
+                dtype=self.dtype,
+                name=f"regressor{i}",
+            )
+            for i in range(3)
+        ]
+        self.tz_head = TzHead(
+            first_stride=3 if c.pymaf.backbone == "vitpose" else 2,
+            hidden=12 if c.pymaf.backbone == "vitpose" else 10,
+            dtype=self.dtype,
+            name="tz_head",
+        )
+        self.cam_model = CamCalibNet(
+            dtype=self.dtype, bn_axis_name=self.bn_axis_name, name="cam_model"
+        )
+        self.global_orient = GlobalOrientRegressor(dtype=self.dtype, name="global_orient")
+        if c.pymaf.aux_supv_on:
+            self.dp_head = IUVHead(
+                with_uv=c.loss.point_regression_weights > 0, dtype=self.dtype,
+                name="dp_head",
+            )
+        if c.pymaf.depth_supv_on:
+            self.dpth_head = DepthHead(dtype=self.dtype, name="dpth_head")
+
+        self.points_grid = jnp.asarray(make_points_grid(self.cfg.grid_hw))
+
+    def __call__(
+        self,
+        consts: BodyConsts,
+        x: jnp.ndarray,
+        center: jnp.ndarray,
+        scale: jnp.ndarray,
+        bbox_height: jnp.ndarray,
+        orig_shape: jnp.ndarray,
+        bbox_info: jnp.ndarray,
+        train: bool = False,
+        j_regressor: Optional[jnp.ndarray] = None,
+        full_x: Optional[jnp.ndarray] = None,
+        cam_rotmat: Optional[jnp.ndarray] = None,
+    ) -> Dict[str, Any]:
+        """Forward pass.
+
+        Args:
+          consts: BodyConsts bundle (SMPL model + downsampling + mean params).
+          x: (B, H, W, 3) person crops, normalized (NHWC).
+          center: (B, 2) bbox center in full-image pixels.
+          scale: (B,) bbox scale (h/200 convention).
+          bbox_height/orig_shape/bbox_info: per reference forward signature
+            (whmr.py:503-504); orig_shape is (H, W).
+          full_x: (B, Hc, Wc, 3) resized full images for CamCalib, or None.
+          cam_rotmat: (B, 3, 3) ground-truth camera rotation, or None.
+        """
+        c = self.cfg
+        batch_size = x.shape[0]
+        n_iter = c.pymaf.n_iter
+
+        # 1. Camera calibration (whmr.py:509-524). Angles are decoded with a
+        # detached softargmax; render_rotmat flips pitch for the overlay
+        # renderer (whmr.py:522).
+        if cam_rotmat is None:
+            if full_x is not None:
+                (vfov_l, pitch_l, roll_l), _ = self.cam_model(full_x, train=train)
+                vfov, pitch, roll = decode_cam_angles(vfov_l, pitch_l, roll_l)
+                zeros = jnp.zeros_like(pitch)
+                cam_rotmat = lax.stop_gradient(
+                    euler_to_rotmat(jnp.stack([pitch, zeros, roll], axis=-1))
+                )
+                render_rotmat = lax.stop_gradient(
+                    euler_to_rotmat(jnp.stack([-pitch, zeros, roll], axis=-1))
+                )
+            else:
+                cam_rotmat = jnp.broadcast_to(
+                    jnp.eye(3, dtype=x.dtype), (batch_size, 3, 3)
+                )
+                render_rotmat = cam_rotmat
+        else:
+            render_rotmat = cam_rotmat
+
+        # 2. Backbone spatial features.
+        if c.pymaf.backbone == "vitpose":
+            s_feat = self.feature_extractor(x, train=train)
+        else:
+            s_feat, _ = self.feature_extractor(x, train=train)
+
+        # 3. Mean-parameter init (whmr.py:550).
+        smpl_output = forward_init(consts, batch_size, c.img_res, j_regressor)
+        out_smpl = [smpl_output]
+
+        # 4. Deconv pyramid; each level feeds one MAF step (whmr.py:560-564).
+        level_feats = []
+        for i in range(n_iter):
+            s_feat = self.deconv_blocks[i](s_feat, train=train)
+            level_feats.append(s_feat)
+
+        # 5. Tz head; stage 1 detaches the pyramid (whmr.py:567-570).
+        tz_in = lax.stop_gradient(s_feat) if (c.train.stage == 1 and train) else s_feat
+        tz = self.tz_head(tz_in, train=train)
+
+        cam_state = CamState(
+            bbox_info=bbox_info,
+            center=center,
+            scale=scale,
+            bbox_height=bbox_height,
+            orig_shape=orig_shape,
+            tz=tz,
+        )
+
+        # 6. MAF loop (whmr.py:580-627).
+        body_feat = None
+        for rf_i in range(n_iter):
+            pred_cam = lax.stop_gradient(smpl_output["pred_cam"])
+            pred_shape = lax.stop_gradient(smpl_output["pred_shape"])
+            pred_pose = lax.stop_gradient(smpl_output["rotmat"]).reshape(batch_size, -1)
+            markers = lax.stop_gradient(smpl_output["markers"])
+
+            maf = self.maf_extractors[rf_i]
+            if rf_i == 0:
+                pts = jnp.broadcast_to(
+                    self.points_grid[None], (batch_size, *self.points_grid.shape)
+                ).astype(s_feat.dtype)
+                ref_feature, _ = maf.sampling(level_feats[rf_i], pts)
+            else:
+                ref_feature, _ = maf(level_feats[rf_i], markers, pred_cam)
+
+            reg_out, feat_cat = self.regressors[rf_i](
+                consts,
+                ref_feature,
+                cam_state,
+                pred_pose,
+                pred_shape,
+                pred_cam,
+                train=train,
+                n_iter=1,
+                j_regressor=j_regressor,
+            )
+            smpl_output = reg_out
+            if rf_i > 0:
+                body_feat = feat_cat
+            out_smpl.append(smpl_output)
+
+        # 7. Global orientation -> world SMPL (whmr.py:630-654).
+        last_local_rotmat = smpl_output["rotmat"][:, 0]
+        global_rotmat1 = self.global_orient(
+            body_feat, cam_rotmat.astype(body_feat.dtype), last_local_rotmat, train=train
+        )
+        global_aa = rotmat_to_angle_axis(global_rotmat1.reshape(-1, 3, 3)).reshape(-1, 3)
+        global_pose = jnp.concatenate([global_aa, smpl_output["pose"][:, 3:]], axis=1)
+        global_full_rotmat = jnp.concatenate(
+            [global_rotmat1, smpl_output["rotmat"][:, 1:]], axis=1
+        )
+        world_out = smpl_forward(
+            consts.smpl, smpl_output["pred_shape"], global_full_rotmat
+        )
+        if j_regressor is not None:
+            global_kp_3d = select_h36m_j14(j_regressor, world_out.vertices)
+        else:
+            global_kp_3d = world_out.joints
+
+        global_output = {
+            "global_pose": global_pose,
+            "global_shape": smpl_output["pred_shape"],
+            "global_rotmat": global_full_rotmat,
+            "global_kp_3d": global_kp_3d,
+            "global_verts": world_out.vertices,
+        }
+
+        out: Dict[str, Any] = {
+            "smpl_out": out_smpl,
+            "global_output": global_output,
+            "dp_out": [],
+            "dpth_out": [],
+        }
+
+        # 8. Aux heads on the finest pyramid level (whmr.py:656-662).
+        if c.pymaf.aux_supv_on:
+            out["dp_out"].append(self.dp_head(s_feat))
+        if c.pymaf.depth_supv_on:
+            out["dpth_out"].append(self.dpth_head(s_feat))
+
+        out["vis"] = {
+            "local_smpl_vertices": smpl_output["verts"],
+            "smpl_vertices": world_out.vertices,
+            "pred_cam_t": smpl_output["pred_cam_t"],
+            "focal_length": smpl_output["focal_length"],
+            "cam_rotmat": cam_rotmat,
+            "render_rotmat": render_rotmat,
+            "shape": smpl_output["pred_shape"],
+            "global_pose": global_pose,
+            "local_pose": smpl_output["pose"],
+        }
+        return out

@@ -1,0 +1,97 @@
+"""Mesh construction and sharding rules for WHMR training/inference.
+
+Strategy (SURVEY.md §2.4 'TPU-native equivalents'):
+- Primary axis 'data': batch sharding — the counterpart of the reference's
+  one-process-per-GPU DDP (train.py:26-28, trainer.py:84-91). Gradients
+  all-reduce over ICI automatically (GSPMD inserts psum when the loss reduces
+  a 'data'-sharded batch against replicated params).
+- Secondary axis 'model': Megatron-style tensor parallelism for transformer
+  blocks (qkv/fc1 column-split, proj/fc2 row-split). The reference has no TP
+  (largest layer is ViT-B); this is the documented net-new capability for
+  ViT-L/H variants.
+
+BatchNorm note: under jit/GSPMD a mean over the sharded batch axis IS a
+global mean, so cross-replica (sync) BN semantics hold by construction — no
+SyncBatchNorm conversion step (trainer.py:83) is needed.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    n_devices: Optional[int] = None,
+    model_parallel: int = 1,
+    axis_names: Tuple[str, str] = ("data", "model"),
+) -> Mesh:
+    """Build a (data, model) mesh over the available devices.
+
+    Lays the 'model' axis over adjacent devices so TP collectives ride the
+    fastest ICI hops and DP all-reduces span the remaining dimension.
+    """
+    devices = jax.devices()
+    n = n_devices or len(devices)
+    assert n % model_parallel == 0, (n, model_parallel)
+    grid = np.asarray(devices[:n]).reshape(n // model_parallel, model_parallel)
+    return Mesh(grid, axis_names)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis batch sharding over 'data' (replicated over 'model')."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+# Megatron-style TP rules, matched against the flattened param path.
+# (path_regex, partition spec builder by array rank)
+_TP_RULES = [
+    # attention qkv: column parallel (split heads) — kernel (d, 3d), bias (3d,)
+    (re.compile(r".*attn/qkv/kernel$"), lambda r: P(None, "model")),
+    (re.compile(r".*attn/qkv/bias$"), lambda r: P("model")),
+    # attention out-proj: row parallel — kernel (d, d) split on input
+    (re.compile(r".*attn/proj/kernel$"), lambda r: P("model", None)),
+    # MLP fc1 column / fc2 row (flax auto-names Dense_0/Dense_1 inside MLP)
+    (re.compile(r".*mlp/Dense_0/kernel$"), lambda r: P(None, "model")),
+    (re.compile(r".*mlp/Dense_0/bias$"), lambda r: P("model")),
+    (re.compile(r".*mlp/Dense_1/kernel$"), lambda r: P("model", None)),
+]
+
+
+def _spec_for(path: str, ndim: int, use_tp: bool) -> P:
+    if use_tp:
+        for rx, builder in _TP_RULES:
+            if rx.match(path):
+                return builder(ndim)
+    return P()
+
+
+def shard_params(params, mesh: Mesh, use_tp: Optional[bool] = None):
+    """Apply sharding rules to a param/variable pytree.
+
+    With use_tp (default: mesh has a >1 'model' axis), transformer block
+    weights split over 'model'; everything else is replicated.
+    """
+    if use_tp is None:
+        use_tp = mesh.shape.get("model", 1) > 1
+
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def path_str(kp):
+        return "/".join(
+            getattr(k, "key", getattr(k, "name", str(k))) for k in kp
+        )
+
+    def place(kp, leaf):
+        spec = _spec_for(path_str(kp), getattr(leaf, "ndim", 0), use_tp)
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(place, params)

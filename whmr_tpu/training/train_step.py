@@ -1,0 +1,156 @@
+"""Sharded training step: one jitted program = fwd + loss + grad + update.
+
+The TPU counterpart of reference `Trainer.train_step` (core/trainer.py:
+380-636). Differences by design:
+- GT SMPL forward, mesh downsampling and the camera-translation LSQ all run
+  inside the same XLA program as the model (the reference bounces to numpy
+  per sample for the LSQ, trainer.py:433-436).
+- Gradient all-reduce over the 'data' mesh axis is inserted by GSPMD; no DDP
+  wrapper, no explicit collectives.
+- BatchNorm running stats update inside the step (mutable collection);
+  reductions over the sharded batch are global, i.e. sync-BN semantics.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from whmr_tpu.config import WHMRConfig
+from whmr_tpu.models.regressor import BodyConsts
+from whmr_tpu.models.smpl import smpl_forward
+from whmr_tpu.models.whmr import WHMR
+from whmr_tpu.training.losses import whmr_loss
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads, new_batch_stats):
+        updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
+        return self.replace(
+            step=self.step + 1,
+            params=optax.apply_updates(self.params, updates),
+            batch_stats=new_batch_stats,
+            opt_state=new_opt_state,
+        )
+
+
+def make_optimizer(cfg: WHMRConfig) -> optax.GradientTransformation:
+    """Adam at BASE_LR with step-decay epochs (pymaf_config.yaml:1-7)."""
+    if cfg.train.lr_decay_epochs:
+        # boundaries expressed in steps by the caller when used
+        sched = optax.piecewise_constant_schedule(
+            cfg.train.base_lr,
+            {e: cfg.train.lr_gamma for e in cfg.train.lr_decay_epochs},
+        )
+    else:
+        sched = cfg.train.base_lr
+    return optax.adam(sched)
+
+
+def create_train_state(
+    cfg: WHMRConfig,
+    model: WHMR,
+    consts: BodyConsts,
+    rng: jax.Array,
+    example_args: Dict[str, jnp.ndarray],
+) -> TrainState:
+    variables = model.init(
+        {"params": rng, "dropout": jax.random.fold_in(rng, 1)},
+        consts,
+        train=False,
+        **example_args,
+    )
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", FrozenDict())
+    tx = make_optimizer(cfg)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        tx=tx,
+    )
+
+
+def train_step(
+    cfg: WHMRConfig,
+    model: WHMR,
+    state: TrainState,
+    consts: BodyConsts,
+    batch: Dict[str, jnp.ndarray],
+    rng: jax.Array,
+) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+    """One optimization step. Jit with cfg/model static (both hashable)."""
+
+    # GT SMPL forward + multi-scale GT vertices (trainer.py:414-423).
+    from whmr_tpu.ops.rotation import batch_rodrigues
+
+    gt_rotmats = batch_rodrigues(batch["pose"].reshape(-1, 3)).reshape(-1, 24, 3, 3)
+    gt_out = smpl_forward(consts.smpl, batch["betas"], gt_rotmats)
+    gt_vertices = gt_out.vertices
+    gt_sub = jnp.einsum("sv,bvk->bsk", consts.dmap0, gt_vertices)
+    gt_temp = jnp.einsum("ts,bsk->btk", consts.dmap1, gt_sub)
+
+    uvia_gt = batch.get("uvia_gt")
+
+    def loss_fn(params):
+        variables = {"params": params, "batch_stats": state.batch_stats}
+        preds, mutated = model.apply(
+            variables,
+            consts,
+            batch["img"],
+            batch["center"],
+            batch["scale"],
+            batch["bbox_height"],
+            batch["orig_shape"],
+            batch["bbox_info"],
+            train=True,
+            rngs={"dropout": rng},
+            mutable=["batch_stats"],
+        )
+        losses = whmr_loss(
+            cfg, preds, batch, gt_vertices, gt_sub, gt_temp, uvia_gt=uvia_gt
+        )
+        return losses["loss"], (losses, mutated["batch_stats"])
+
+    (loss, (losses, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        state.params
+    )
+    new_state = state.apply_gradients(grads, new_stats)
+    metrics = {k: v for k, v in losses.items()}
+    metrics["grad_norm"] = optax.global_norm(grads)
+    return new_state, metrics
+
+
+def make_jitted_train_step(cfg: WHMRConfig, model: WHMR, mesh=None, donate: bool = True):
+    """Partial + jit with batch sharded over 'data' and state replicated/TP.
+
+    Returns fn(state, consts, batch, rng) -> (state, metrics).
+    """
+    step = functools.partial(train_step, cfg, model)
+    kwargs = {}
+    if donate:
+        kwargs["donate_argnums"] = (0,)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        data = NamedSharding(mesh, P("data"))
+        kwargs["in_shardings"] = (
+            None,  # state: leave placement as-is (replicated or TP-sharded)
+            None,  # consts
+            data,  # batch
+            None,  # rng
+        )
+    return jax.jit(step, **kwargs)
