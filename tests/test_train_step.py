@@ -122,3 +122,22 @@ class TestMeshSharding:
         np.testing.assert_allclose(
             float(m_single["loss"]), float(m_mesh["loss"]), rtol=1e-4
         )
+
+
+class TestAuxSupervision:
+    def test_train_step_with_gt_iuv_rendering(self):
+        """Full aux-supervised step: on-device GT IUV render + IUV losses."""
+        from whmr_tpu.data.assets import synthetic_smpl_assets
+        from whmr_tpu.training.gt_renderer import build_render_consts
+
+        cfg = tiny_config()
+        model, state, consts, batch = setup_state(cfg)
+        render_consts = build_render_consts(synthetic_smpl_assets())
+        step_fn = make_jitted_train_step(
+            cfg, model, donate=False, render_consts=render_consts
+        )
+        _, metrics = step_fn(state, consts, batch, jax.random.PRNGKey(1))
+        assert "loss_IndexUV" in metrics
+        assert "loss_U" in metrics
+        assert np.isfinite(float(metrics["loss"]))
+        assert float(metrics["loss_IndexUV"]) > 0

@@ -1,0 +1,115 @@
+"""GT IUV / inverse-depth rendering for auxiliary supervision.
+
+Replaces the reference's pytorch3d-based `IUV_Renderer` / `Depth_Renderer`
+(utils/renderer.py:289-533, invoked per train step at trainer.py:442-464)
+with the JAX z-buffer rasterizer, so GT map generation happens on-TPU inside
+the train step instead of a separate CUDA rasterization pass.
+
+Per-vertex IUV attributes come from the DensePose UV data when available
+(`data/UV_data/UV_Processed.mat`, densepose_methods.py:14-28); otherwise a
+deterministic synthetic part/UV chart is derived from the LBS weights
+(nearest-joint part assignment, joint-frame UV), which has the same value
+ranges and structure for training-path testing.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from whmr_tpu.data.assets import SMPLAssets
+from whmr_tpu.ops.rasterizer import (
+    project_weak_perspective_to_pixels,
+    rasterize,
+)
+
+
+class RenderConsts(NamedTuple):
+    vertex_iuv: jnp.ndarray  # (V, 3): part_index/24, U, V
+    faces: np.ndarray        # (F, 3) static topology
+
+
+def build_render_consts(assets: SMPLAssets, densepose_mat: Optional[str] = None) -> RenderConsts:
+    """Vertex IUV chart: real DensePose data if given, synthetic otherwise."""
+    v = assets.v_template.shape[0]
+    if densepose_mat and os.path.exists(densepose_mat):
+        import scipy.io
+
+        dp = scipy.io.loadmat(densepose_mat)
+        # DensePose stores per-sample (7829) entries indexed into SMPL verts
+        # (All_vertices 1-based); collapse to one value per SMPL vertex.
+        all_vertices = dp["All_vertices"].reshape(-1).astype(np.int64) - 1
+        part = dp["All_FaceIndices"].reshape(-1)
+        u_norm = dp["All_U_norm"].reshape(-1)
+        v_norm = dp["All_V_norm"].reshape(-1)
+        vert_iuv = np.zeros((v, 3), np.float32)
+        # faces' part indices -> spread onto their vertices
+        faces_dp = dp["All_Faces"].astype(np.int64) - 1
+        for f_idx in range(faces_dp.shape[0]):
+            for k in range(3):
+                dp_v = faces_dp[f_idx, k]
+                sm_v = all_vertices[dp_v]
+                vert_iuv[sm_v, 0] = part[f_idx] / 24.0
+                vert_iuv[sm_v, 1] = u_norm[dp_v]
+                vert_iuv[sm_v, 2] = v_norm[dp_v]
+    else:
+        # Synthetic chart: part = argmax LBS weight (1..24), U/V from a
+        # smooth per-part planar projection of the template.
+        part = assets.lbs_weights.argmax(axis=1) + 1  # 1..24 (0 = background)
+        vt = assets.v_template
+        lo = vt.min(axis=0)
+        hi = vt.max(axis=0)
+        uv = (vt - lo) / np.maximum(hi - lo, 1e-6)
+        vert_iuv = np.stack(
+            [part.astype(np.float32) / 24.0, uv[:, 0], uv[:, 1]], axis=-1
+        ).astype(np.float32)
+    return RenderConsts(vertex_iuv=jnp.asarray(vert_iuv), faces=assets.faces)
+
+
+def render_gt_maps(
+    consts: RenderConsts,
+    gt_vertices: jnp.ndarray,
+    gt_camera: jnp.ndarray,
+    heatmap_size: Tuple[int, int] = (128, 128),
+    vitpose_slice: bool = True,
+    with_depth: bool = False,
+    valid: Optional[jnp.ndarray] = None,
+) -> Dict[str, jnp.ndarray]:
+    """Render GT IUV image (and optionally inverse depth) for a batch.
+
+    Mirrors trainer.py:442-464: render at DP_HEATMAP_SIZE with the GT weak
+    camera, slice width 16:-16 for the vitpose 128x96 feature grid, zero out
+    invalid samples.
+    """
+    vp, vz = project_weak_perspective_to_pixels(
+        gt_vertices, gt_camera, heatmap_size
+    )
+    attrs = jnp.broadcast_to(
+        consts.vertex_iuv[None], (gt_vertices.shape[0], *consts.vertex_iuv.shape)
+    )
+    out = rasterize(vp, vz, attrs, consts.faces, resolution=heatmap_size)
+    iuv = out.attrs  # (B, H, W, 3)
+    results: Dict[str, jnp.ndarray] = {}
+    if vitpose_slice:
+        iuv = iuv[:, :, 16:-16]
+    if valid is not None:
+        iuv = iuv * valid[:, None, None, None]
+    results["iuv_image_gt"] = iuv
+    if with_depth:
+        inv_depth = jnp.where(out.mask, 1.0 / jnp.maximum(out.zbuf, 1e-6), 0.0)
+        if vitpose_slice:
+            inv_depth = inv_depth[:, :, 16:-16]
+        if valid is not None:
+            inv_depth = inv_depth * valid[:, None, None]
+        results["depth_image_gt"] = inv_depth[..., None]
+    return results
+
+
+def gt_camera_from_cam_t(cam_t: jnp.ndarray, focal_length: float = 1000.0, crop_res: float = 256.0) -> jnp.ndarray:
+    """Full-persp translation -> weak-persp GT camera (trainer.py:445-449):
+    gt_camera = [2f/(res*tz), tx, ty]."""
+    s = (2.0 * focal_length / crop_res) / cam_t[:, 2]
+    return jnp.stack([s, cam_t[:, 0], cam_t[:, 1]], axis=-1)

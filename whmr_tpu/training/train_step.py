@@ -91,6 +91,7 @@ def train_step(
     consts: BodyConsts,
     batch: Dict[str, jnp.ndarray],
     rng: jax.Array,
+    render_consts=None,
 ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
     """One optimization step. Jit with cfg/model static (both hashable)."""
 
@@ -104,6 +105,36 @@ def train_step(
     gt_temp = jnp.einsum("ts,bsk->btk", consts.dmap1, gt_sub)
 
     uvia_gt = batch.get("uvia_gt")
+    if uvia_gt is None and render_consts is not None and cfg.pymaf.aux_supv_on:
+        # On-device GT IUV rendering (replaces the reference's separate
+        # pytorch3d pass, trainer.py:428-464): fit the GT weak camera from
+        # the 2D keypoints, rasterize the GT mesh, encode to one-hot maps.
+        from whmr_tpu.config import FOCAL_LENGTH
+        from whmr_tpu.ops.camera import estimate_translation
+        from whmr_tpu.ops.iuv import iuv_img2map
+        from whmr_tpu.training.gt_renderer import (
+            gt_camera_from_cam_t,
+            render_gt_maps,
+        )
+
+        w, h = cfg.img_res
+        kp_orig = batch["keypoints"].at[..., :2].set(
+            0.5 * h * (batch["keypoints"][..., :2] + 1.0)
+        )
+        opt_cam_t = estimate_translation(
+            gt_out.joints, kp_orig, FOCAL_LENGTH, (float(w), float(h))
+        )
+        gt_camera = gt_camera_from_cam_t(jax.lax.stop_gradient(opt_cam_t))
+        maps = render_gt_maps(
+            render_consts,
+            gt_vertices,
+            gt_camera,
+            heatmap_size=cfg.pymaf.dp_heatmap_size,
+            vitpose_slice=cfg.pymaf.backbone == "vitpose",
+            with_depth=cfg.pymaf.depth_supv_on,
+            valid=batch["has_smpl"],
+        )
+        uvia_gt = iuv_img2map(maps["iuv_image_gt"])
 
     def loss_fn(params):
         variables = {"params": params, "batch_stats": state.batch_stats}
@@ -134,12 +165,14 @@ def train_step(
     return new_state, metrics
 
 
-def make_jitted_train_step(cfg: WHMRConfig, model: WHMR, mesh=None, donate: bool = True):
+def make_jitted_train_step(
+    cfg: WHMRConfig, model: WHMR, mesh=None, donate: bool = True, render_consts=None
+):
     """Partial + jit with batch sharded over 'data' and state replicated/TP.
 
     Returns fn(state, consts, batch, rng) -> (state, metrics).
     """
-    step = functools.partial(train_step, cfg, model)
+    step = functools.partial(train_step, cfg, model, render_consts=render_consts)
     kwargs = {}
     if donate:
         kwargs["donate_argnums"] = (0,)
