@@ -18,6 +18,10 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compile cache: the suite is compile-dominated (full ViT/train
+# graphs); warm reruns skip XLA compilation entirely.
+jax.config.update("jax_compilation_cache_dir", "/tmp/whmr_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np
 import pytest

@@ -1,0 +1,163 @@
+"""Torch->flax conversion convention tests: numerical parity per layer type.
+
+Each test builds a live torch module with random weights, converts with the
+utils.convert transforms, and checks the flax layer reproduces the torch
+output — pinning the layout conventions the full checkpoint converter
+relies on.
+"""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn as nn
+
+import jax
+import jax.numpy as jnp
+import flax.linen as fnn
+
+from whmr_tpu.utils import convert as C
+
+
+def to_j(x):
+    return jnp.asarray(x.detach().numpy())
+
+
+class TestLayerParity:
+    def test_linear(self, rng):
+        tl = nn.Linear(12, 7)
+        x = torch.randn(4, 12)
+        ref = tl(x).detach().numpy()
+        fl = fnn.Dense(7)
+        params = {"kernel": C.t_linear(tl.weight.detach().numpy()), "bias": tl.bias.detach().numpy()}
+        out = fl.apply({"params": params}, to_j(x))
+        np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+    def test_conv2d(self, rng):
+        tc = nn.Conv2d(3, 8, 3, stride=2, padding=1)
+        x = torch.randn(2, 3, 16, 16)
+        ref = tc(x).detach().numpy().transpose(0, 2, 3, 1)
+        fc = fnn.Conv(8, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        params = {"kernel": C.t_conv2d(tc.weight.detach().numpy()), "bias": tc.bias.detach().numpy()}
+        out = fc.apply({"params": params}, to_j(x.permute(0, 2, 3, 1)))
+        np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4)
+
+    def test_conv2d_valid_stride3(self, rng):
+        """The Tz head conv shape: k7 s3 p0 (whmr.py:419)."""
+        tc = nn.Conv2d(16, 5, 7, stride=3, padding=0, bias=False)
+        x = torch.randn(1, 16, 32, 24)
+        ref = tc(x).detach().numpy().transpose(0, 2, 3, 1)
+        fc = fnn.Conv(5, (7, 7), strides=(3, 3), padding="VALID", use_bias=False)
+        params = {"kernel": C.t_conv2d(tc.weight.detach().numpy())}
+        out = fc.apply({"params": params}, to_j(x.permute(0, 2, 3, 1)))
+        np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4)
+
+    def test_conv_transpose2d_k4s2p1(self, rng):
+        """The deconv pyramid shape: ConvT k4 s2 p1 (whmr.py:488-496)."""
+        tc = nn.ConvTranspose2d(6, 4, 4, stride=2, padding=1, bias=False)
+        x = torch.randn(2, 6, 8, 8)
+        ref = tc(x).detach().numpy().transpose(0, 2, 3, 1)
+        fc = fnn.ConvTranspose(4, (4, 4), strides=(2, 2), padding="SAME", use_bias=False)
+        params = {"kernel": C.t_convtranspose2d(tc.weight.detach().numpy())}
+        out = fc.apply({"params": params}, to_j(x.permute(0, 2, 3, 1)))
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4)
+
+    def test_conv1d_pointwise(self, rng):
+        """MAF reduce_dim Conv1d k=1 == Dense over the point axis."""
+        tc = nn.Conv1d(10, 6, 1)
+        x = torch.randn(2, 10, 67)
+        ref = tc(x).detach().numpy().transpose(0, 2, 1)  # (B, 67, 6)
+        fd = fnn.Dense(6)
+        params = {"kernel": C.t_conv1d_pointwise(tc.weight.detach().numpy()), "bias": tc.bias.detach().numpy()}
+        out = fd.apply({"params": params}, to_j(x.permute(0, 2, 1)))
+        np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+    def test_batchnorm_inference(self, rng):
+        tb = nn.BatchNorm2d(5)
+        tb.eval()
+        with torch.no_grad():
+            tb.running_mean += torch.randn(5) * 0.3
+            tb.running_var *= torch.rand(5) + 0.5
+            tb.weight += torch.randn(5) * 0.1
+        x = torch.randn(2, 5, 4, 4)
+        ref = tb(x).detach().numpy().transpose(0, 2, 3, 1)
+        fb = fnn.BatchNorm(use_running_average=True)
+        variables = {
+            "params": {"scale": tb.weight.detach().numpy(), "bias": tb.bias.detach().numpy()},
+            "batch_stats": {"mean": tb.running_mean.numpy(), "var": tb.running_var.numpy()},
+        }
+        out = fb.apply(variables, to_j(x.permute(0, 2, 3, 1)))
+        np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4)
+
+    def test_layernorm(self, rng):
+        tl = nn.LayerNorm(16, eps=1e-6)
+        with torch.no_grad():
+            tl.weight += torch.randn(16) * 0.1
+            tl.bias += torch.randn(16) * 0.1
+        x = torch.randn(2, 7, 16)
+        ref = tl(x).detach().numpy()
+        fl = fnn.LayerNorm(epsilon=1e-6)
+        out = fl.apply(
+            {"params": {"scale": tl.weight.detach().numpy(), "bias": tl.bias.detach().numpy()}},
+            to_j(x),
+        )
+        np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+
+class TestAttentionParity:
+    def test_fused_qkv_attention(self, rng):
+        """Reference ViT attention (vit.py:77-115) vs models.layers.Attention."""
+        from whmr_tpu.models.layers import Attention
+
+        dim, heads, n = 32, 4, 12
+        qkv = nn.Linear(dim, dim * 3, bias=True)
+        proj = nn.Linear(dim, dim)
+        x = torch.randn(2, n, dim)
+
+        # torch reference computation (vit.py:100-115)
+        with torch.no_grad():
+            b = x.shape[0]
+            qkv_out = qkv(x).reshape(b, n, 3, heads, -1).permute(2, 0, 3, 1, 4)
+            q, k, v = qkv_out[0], qkv_out[1], qkv_out[2]
+            attn = (q * (dim // heads) ** -0.5) @ k.transpose(-2, -1)
+            attn = attn.softmax(dim=-1)
+            ref = proj((attn @ v).transpose(1, 2).reshape(b, n, -1)).numpy()
+
+        fa = Attention(num_heads=heads, qkv_bias=True)
+        params = {
+            "qkv": {"kernel": C.t_linear(qkv.weight.detach().numpy()), "bias": qkv.bias.detach().numpy()},
+            "proj": {"kernel": C.t_linear(proj.weight.detach().numpy()), "bias": proj.bias.detach().numpy()},
+        }
+        out = fa.apply({"params": params}, to_j(x))
+        np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4)
+
+
+class TestFullConverter:
+    def test_regressor_keys(self):
+        """Converter maps a synthetic regressor state_dict to the right tree."""
+        sd = {}
+        for i in range(3):
+            for name, shape in (
+                ("fc1", (1024, 100)), ("fc2", (1024, 1024)),
+                ("decpose", (216, 1024)), ("decshape", (10, 1024)), ("deccam", (3, 1024)),
+            ):
+                sd[f"regressor.{i}.{name}.weight"] = torch.randn(*shape)
+                sd[f"regressor.{i}.{name}.bias"] = torch.randn(shape[0])
+        out = C.convert_whmr_checkpoint(sd)
+        assert out["params"]["regressor0"]["decpose"]["kernel"].shape == (1024, 216)
+        assert out["params"]["regressor2"]["fc1"]["bias"].shape == (1024,)
+
+    def test_deconv_and_maf_keys(self):
+        sd = {
+            "deconv_layers.0.weight": torch.randn(768, 256, 4, 4),
+            "deconv_layers.1.weight": torch.randn(256),
+            "deconv_layers.1.bias": torch.randn(256),
+            "deconv_layers.1.running_mean": torch.randn(256),
+            "deconv_layers.1.running_var": torch.rand(256) + 0.5,
+            "maf_extractor.0.conv0.weight": torch.randn(128, 256, 1),
+            "maf_extractor.0.conv0.bias": torch.randn(128),
+        }
+        out = C.convert_whmr_checkpoint(sd)
+        assert out["params"]["deconv0"]["ConvTranspose_0"]["kernel"].shape == (4, 4, 768, 256)
+        assert out["batch_stats"]["deconv0"]["BatchNorm_0"]["mean"].shape == (256,)
+        assert out["params"]["maf0"]["conv0"]["kernel"].shape == (256, 128)

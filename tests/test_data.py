@@ -1,0 +1,187 @@
+"""Data pipeline tests: crop math, flips, dataset fields, loader, mixture."""
+
+import os
+
+import cv2
+import numpy as np
+import pytest
+
+from whmr_tpu.data import augment as A
+from whmr_tpu.data.loader import BatchLoader
+from whmr_tpu.data.npz_dataset import MixtureDataset, NpzDataset
+from whmr_tpu.utils.testing import tiny_config
+
+
+@pytest.fixture(scope="module")
+def fake_dataset(tmp_path_factory):
+    """Small on-disk dataset in the reference npz schema."""
+    root = tmp_path_factory.mktemp("ds")
+    img_dir = root / "images"
+    img_dir.mkdir()
+    rng = np.random.RandomState(3)
+    n = 8
+    names = []
+    for i in range(n):
+        img = rng.randint(0, 255, (360, 480, 3), np.uint8)
+        name = f"im_{i:03d}.png"
+        cv2.imwrite(str(img_dir / name), img)
+        names.append(name)
+    np.savez(
+        root / "labels.npz",
+        imgname=np.array(names),
+        center=rng.uniform(150, 300, (n, 2)).astype(np.float32),
+        scale=rng.uniform(0.8, 1.5, (n,)).astype(np.float32),
+        pose=(rng.randn(n, 72) * 0.2).astype(np.float32),
+        shape=(rng.randn(n, 10) * 0.3).astype(np.float32),
+        has_smpl=np.ones(n, np.float32),
+        S=np.concatenate([rng.randn(n, 24, 3) * 0.3, np.ones((n, 24, 1))], -1).astype(np.float32),
+        part=np.concatenate([rng.uniform(100, 400, (n, 24, 2)), np.ones((n, 24, 1))], -1).astype(np.float32),
+        openpose=np.zeros((n, 25, 3), np.float32),
+    )
+    return root
+
+
+class TestCropMath:
+    def test_crop_center_identity(self):
+        """A landmark at the bbox center maps to the crop center."""
+        center = np.array([200.0, 150.0])
+        scale = 1.0
+        res = (256, 256)
+        out = A.transform_point([200 + 1, 150 + 1], center, scale, res)
+        np.testing.assert_allclose(out, [129, 129], atol=1.0)
+
+    def test_transform_invert_roundtrip(self):
+        center = np.array([211.0, 147.0])
+        p = A.transform_point([100, 80], center, 1.2, (256, 256))
+        back = A.transform_point(p, center, 1.2, (256, 256), invert=1)
+        np.testing.assert_allclose(back, [100, 80], atol=2.0)
+
+    def test_crop_image_contains_marked_pixel(self):
+        """Paint a block at the bbox center; crop must have it centered."""
+        img = np.zeros((360, 480, 3), np.float32)
+        img[148:153, 198:203] = 255.0
+        crop = A.crop_image(img, np.array([200.0, 150.0]), 0.8, (256, 256))
+        cy, cx = np.array(np.nonzero(crop[..., 0])).mean(axis=1)
+        assert abs(cy - 128) < 6 and abs(cx - 128) < 6
+
+    def test_rotation_moves_pixels(self):
+        img = np.zeros((360, 480, 3), np.float32)
+        img[100:105, 198:203] = 255.0  # above center
+        c = np.array([200.0, 150.0])
+        up = A.crop_image(img, c, 0.8, (256, 256), rot=0)
+        rot = A.crop_image(img, c, 0.8, (256, 256), rot=90)
+        y0 = np.array(np.nonzero(up[..., 0])).mean(axis=1)
+        y1 = np.array(np.nonzero(rot[..., 0])).mean(axis=1)
+        assert np.abs(y0 - y1).max() > 20  # block moved to the side
+
+
+class TestFlips:
+    def test_flip_pose_involution(self, rng):
+        pose = rng.randn(72).astype(np.float32)
+        np.testing.assert_allclose(A.flip_pose(A.flip_pose(pose)), pose, atol=1e-6)
+
+    def test_flip_kp_involution(self, rng):
+        for n, is_smpl in [(24, False), (24, True), (49, False), (49, True)]:
+            kp = rng.randn(n, 3).astype(np.float32)
+            np.testing.assert_allclose(A.flip_kp(A.flip_kp(kp, is_smpl), is_smpl), kp, atol=1e-6)
+
+    def test_rot_aa_matches_rotation(self, rng):
+        from scipy.spatial.transform import Rotation as R
+
+        aa = rng.randn(3).astype(np.float64) * 0.5
+        out = A.rot_aa(aa, 30.0)
+        rz = R.from_euler("z", -30, degrees=True).as_matrix()
+        expected = R.from_matrix(rz @ R.from_rotvec(aa).as_matrix()).as_rotvec()
+        np.testing.assert_allclose(out, expected, atol=1e-6)
+
+
+class TestNpzDataset:
+    def test_item_fields_eval_mode(self, fake_dataset):
+        cfg = tiny_config()
+        ds = NpzDataset(
+            cfg, str(fake_dataset / "labels.npz"), str(fake_dataset / "images"),
+            is_train=False,
+        )
+        item = ds[0]
+        assert item["img"].shape == (256, 192, 3)  # vitpose slice
+        assert item["keypoints"].shape == (49, 3)
+        assert item["keypoints_world"].shape == (49, 3)
+        assert item["pose"].shape == (72,)
+        assert item["bbox_info"].shape == (5,)
+        assert item["meta_mask"].shape == (431, 1)
+        assert np.all(np.isfinite(item["img"]))
+        # eval mode: no vertex masking
+        assert item["meta_mask"].min() == 1.0
+
+    def test_train_mode_augments(self, fake_dataset):
+        cfg = tiny_config()
+        ds = NpzDataset(
+            cfg, str(fake_dataset / "labels.npz"), str(fake_dataset / "images"),
+            is_train=True, seed=11,
+        )
+        a = ds[0]["img"]
+        b = ds[0]["img"]
+        assert np.abs(a - b).max() > 1e-3  # stochastic augmentation
+
+    def test_keypoints_world_in_range(self, fake_dataset):
+        cfg = tiny_config()
+        ds = NpzDataset(
+            cfg, str(fake_dataset / "labels.npz"), str(fake_dataset / "images"),
+            is_train=False,
+        )
+        item = ds[1]
+        kpw = item["keypoints_world"]
+        assert np.abs(kpw[:, :2]).max() < 3.0
+
+
+class TestLoader:
+    def test_batches(self, fake_dataset):
+        cfg = tiny_config()
+        ds = NpzDataset(
+            cfg, str(fake_dataset / "labels.npz"), str(fake_dataset / "images"),
+            is_train=False,
+        )
+        loader = BatchLoader(ds, batch_size=4, num_workers=3, shuffle=True)
+        batches = list(loader)
+        assert len(batches) == 2
+        assert batches[0]["img"].shape == (4, 256, 192, 3)
+
+    def test_host_sharding_disjoint(self, fake_dataset):
+        cfg = tiny_config()
+        ds = NpzDataset(
+            cfg, str(fake_dataset / "labels.npz"), str(fake_dataset / "images"),
+            is_train=False,
+        )
+        l0 = BatchLoader(ds, 2, shuffle=False, num_hosts=2, host_index=0)
+        l1 = BatchLoader(ds, 2, shuffle=False, num_hosts=2, host_index=1)
+        i0 = set(l0._epoch_indices().tolist())
+        i1 = set(l1._epoch_indices().tolist())
+        assert not (i0 & i1)
+        assert len(i0 | i1) == len(ds)
+
+    def test_set_epoch_reshuffles(self, fake_dataset):
+        cfg = tiny_config()
+        ds = NpzDataset(
+            cfg, str(fake_dataset / "labels.npz"), str(fake_dataset / "images"),
+            is_train=False,
+        )
+        loader = BatchLoader(ds, 2, shuffle=True)
+        loader.set_epoch(0)
+        a = loader._epoch_indices().tolist()
+        loader.set_epoch(1)
+        b = loader._epoch_indices().tolist()
+        assert a != b
+
+
+class TestMixture:
+    def test_ratio_partition(self, fake_dataset):
+        cfg = tiny_config()
+        mk = lambda name: NpzDataset(
+            cfg, str(fake_dataset / "labels.npz"), str(fake_dataset / "images"),
+            name=name, is_train=False,
+        )
+        mix = MixtureDataset([mk("a"), mk("b")], weights=[0.75, 0.25], length=100)
+        # indices below 75% of length hit dataset a, above hit b
+        assert mix[0] is not None
+        picks = [int(np.searchsorted(mix.partition, i / 100, side="right")) for i in range(100)]
+        assert picks.count(0) == 75 and picks.count(1) == 25

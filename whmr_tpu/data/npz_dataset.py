@@ -1,0 +1,241 @@
+"""npz-label training/eval datasets (reference-format) + mixture sampling.
+
+Reads the same label schema as the reference (`datasets/base_dataset.py:31-158`:
+imgname/center/scale/pose/shape/S/part/openpose/gender/has_smpl) and emits
+the same per-sample dict (`__getitem__`, base_dataset.py:249-384), with the
+vitpose 256->192 width slice applied at batch level.
+
+The weighted multi-dataset mixture replicates `datasets/mixed_dataset.py:
+13-123` (11 datasets, fixed ratios, virtual epoch length) as a generic
+weighted sampler.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence
+
+import cv2
+import numpy as np
+
+from whmr_tpu.config import WHMRConfig
+from whmr_tpu.data import augment as A
+
+# Reference mixture (mixed_dataset.py:21-64): dataset name -> weight.
+MIXTURE_WEIGHTS = {
+    "h36m": 0.07,
+    "mpii-vitpose": 0.05,
+    "coco-prune": 0.05,
+    "coco-vitpose-prune": 0.05,
+    "mpi-inf-3dhp": 0.02,
+    "ava": 0.18,
+    "aic": 0.18,
+    "insta": 0.19,
+    "agora_1280x720": 0.07,
+    "3dpw": 0.07,
+    "humman": 0.07,
+}
+MIXTURE_LENGTH = 165_000  # virtual epoch length (mixed_dataset.py:66)
+
+
+class NpzDataset:
+    """One npz-label dataset; returns numpy sample dicts."""
+
+    def __init__(
+        self,
+        cfg: WHMRConfig,
+        npz_path: str,
+        img_dir: str,
+        name: str = "dataset",
+        is_train: bool = True,
+        use_augmentation: bool = True,
+        occluders: Optional[Sequence[np.ndarray]] = None,
+        noise_factor: float = 0.4,
+        rot_factor: float = 30.0,
+        scale_factor: float = 0.25,
+        seed: int = 0,
+    ):
+        self.cfg = cfg
+        self.name = name
+        self.img_dir = img_dir
+        self.is_train = is_train
+        self.use_augmentation = use_augmentation and is_train
+        self.occluders = occluders
+        self.noise_factor = noise_factor
+        self.rot_factor = rot_factor
+        self.scale_factor = scale_factor
+        self.rng = np.random.RandomState(seed)
+
+        data = np.load(npz_path, allow_pickle=True)
+        self.imgname = data["imgname"]
+        self.center = data["center"].astype(np.float32)
+        self.scale = data["scale"].astype(np.float32)
+        n = len(self.imgname)
+
+        if "pose" in data and "shape" in data:
+            self.pose = data["pose"].astype(np.float32)
+            self.betas = data["shape"].astype(np.float32)
+            self.has_smpl = data["has_smpl"].astype(np.float32) if "has_smpl" in data else np.ones(n, np.float32)
+        else:
+            self.pose = np.zeros((n, 72), np.float32)
+            self.betas = np.zeros((n, 10), np.float32)
+            self.has_smpl = np.zeros(n, np.float32)
+
+        if "S" in data:
+            self.pose_3d = data["S"].astype(np.float32)
+            self.has_pose_3d = 1
+        else:
+            self.pose_3d = np.zeros((n, 24, 4), np.float32)
+            self.has_pose_3d = 0
+
+        part = data["part"] if "part" in data else np.zeros((n, 24, 3))
+        openpose = data["openpose"] if "openpose" in data else np.zeros((n, 25, 3))
+        self.keypoints = np.concatenate([openpose, part], axis=1).astype(np.float32)
+
+        if "gender" in data:
+            self.gender = np.array(
+                [0 if str(g) == "m" else 1 for g in data["gender"]], np.int32
+            )
+        else:
+            self.gender = -np.ones(n, np.int32)
+
+    def __len__(self):
+        return len(self.imgname)
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        cfg = self.cfg
+        res = cfg.img_res  # (W, H)
+        scale = float(self.scale[index])
+        center = self.center[index].copy()
+
+        if self.use_augmentation:
+            p = A.AugmentParams.sample(
+                self.rng, self.noise_factor, self.rot_factor, self.scale_factor
+            )
+        else:
+            p = A.AugmentParams(0, np.ones(3), 0.0, 1.0)
+        scale = p.sc * scale
+
+        img_path = os.path.join(self.img_dir, str(self.imgname[index]))
+        img = cv2.imread(img_path)
+        if img is None:
+            raise FileNotFoundError(img_path)
+        img = img[:, :, ::-1].astype(np.float32)
+        orig_shape = np.array(img.shape[:2], np.float32)
+
+        # rgb processing (base_dataset.py:184-208)
+        crop = A.crop_image(img, center, scale, res, rot=p.rot)
+        if p.flip:
+            crop = np.fliplr(crop)
+        if self.occluders is not None and self.is_train:
+            crop = A.occlude_with_objects(crop.astype(np.uint8), self.occluders, self.rng).astype(np.float32)
+        if self.is_train:
+            crop = A.color_jitter(crop, self.rng)
+        crop = A.apply_channel_noise(crop, p.pn) / 255.0
+        img_norm = A.normalize_image(crop.astype(np.float32))
+        if cfg.pymaf.backbone == "vitpose":
+            img_norm = img_norm[:, 32:-32]  # 256x256 -> 256x192 (:291-292)
+
+        pose = (
+            A.pose_processing(self.pose[index], p.rot, p.flip)
+            if self.has_smpl[index]
+            else np.zeros(72, np.float32)
+        )
+        keypoints = A.j2d_processing(
+            self.keypoints[index], center, scale, res, p.rot, p.flip
+        )
+        if self.has_pose_3d:
+            pose_3d = A.j3d_processing(self.pose_3d[index], p.rot, p.flip)
+        else:
+            pose_3d = np.zeros((24, 4), np.float32)
+
+        # World keypoints: crop-normalized -> full-image normalized
+        # (base_dataset.py:326-342).
+        ul, br = A.get_crop_shape(center, scale, res, p.rot)
+        bbox_res = np.array([br[0] - ul[0], br[1] - ul[1]], np.float32)
+        kp_orig = keypoints.copy()
+        kp_orig[:, :2] = 0.5 * bbox_res * (kp_orig[:, :2] + 1.0) + ul
+        img_wh = orig_shape[[1, 0]]
+        kp_world = kp_orig.copy()
+        kp_world[:, :2] = 2.0 * kp_orig[:, :2] / img_wh - 1.0
+
+        new_center = (ul + br) / 2.0
+        focal = np.sqrt(np.sum(orig_shape**2)).astype(np.float32)
+        img_center = img_wh / 2.0
+        bbox_info = np.array(
+            [
+                new_center[0] - img_center[0],
+                new_center[1] - img_center[1],
+                bbox_res[1],
+                img_wh[0],
+                img_wh[1],
+            ],
+            np.float32,
+        ) / focal
+
+        # 431-vertex BERT-style visibility mask (base_dataset.py:345-355).
+        mvm_mask = np.ones((431, 1), np.float32)
+        if self.is_train:
+            pb = self.rng.random_sample()
+            masked = int(pb * 0.3 * 431)
+            idx = self.rng.choice(431, replace=False, size=masked)
+            mvm_mask[idx] = 0.0
+
+        return {
+            "img": img_norm.astype(np.float32),
+            "pose": pose,
+            "betas": self.betas[index].astype(np.float32),
+            "keypoints": keypoints,
+            "keypoints_world": kp_world.astype(np.float32),
+            "pose_3d": pose_3d,
+            "meta_mask": mvm_mask,
+            "has_smpl": np.float32(self.has_smpl[index]),
+            "has_pose_3d": np.float32(self.has_pose_3d),
+            "scale": np.float32(scale),
+            "center": new_center.astype(np.float32),
+            "orig_shape": orig_shape,
+            "is_flipped": np.float32(p.flip),
+            "rot_angle": np.float32(p.rot),
+            "gender": self.gender[index],
+            "sample_index": np.int32(index),
+            "bbox_height": np.float32(bbox_res[1]),
+            "bbox_width": np.float32(bbox_res[0]),
+            "focal": focal,
+            "bbox_info": bbox_info,
+        }
+
+
+class MixtureDataset:
+    """Weighted multi-dataset sampler (reference mixed_dataset.py:13-123)."""
+
+    def __init__(
+        self,
+        datasets: Sequence[NpzDataset],
+        weights: Optional[Sequence[float]] = None,
+        length: int = MIXTURE_LENGTH,
+        seed: int = 0,
+    ):
+        self.datasets = list(datasets)
+        w = np.asarray(
+            weights
+            if weights is not None
+            else [MIXTURE_WEIGHTS.get(d.name, 1.0) for d in self.datasets],
+            np.float64,
+        )
+        self.weights = w / w.sum()
+        self.length = length
+        self.rng = np.random.RandomState(seed)
+        # Cumulative partition bounds, as in mixed_dataset.py:66-89.
+        self.partition = np.cumsum(self.weights)
+
+    def __len__(self):
+        return self.length
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        # index -> dataset via the ratio partition (mixed_dataset.py:116-120)
+        frac = float(index) / self.length
+        d_idx = int(np.searchsorted(self.partition, frac, side="right"))
+        d_idx = min(d_idx, len(self.datasets) - 1)
+        ds = self.datasets[d_idx]
+        return ds[self.rng.randint(len(ds))]

@@ -1,0 +1,87 @@
+"""`whmr-demo` CLI (reference demo/whmr_demo.py:93-172 surface)."""
+
+from __future__ import annotations
+
+import argparse
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="WHMR folder-mode demo")
+    p.add_argument("--image_folder", required=True)
+    p.add_argument("--output_folder", default="output")
+    p.add_argument("--checkpoint", default=None, help="orbax checkpoint dir (random init if omitted)")
+    p.add_argument("--data_dir", default=None, help="asset dir")
+    p.add_argument("--detector", default="full", choices=["full", "file"])
+    p.add_argument("--bbox_file", default=None, help="json bboxes for --detector file")
+    p.add_argument("--max_people", type=int, default=8)
+    p.add_argument("--no_render", action="store_true")
+    p.add_argument("--save_obj", action="store_true")
+    p.add_argument("--no_camcalib", action="store_true")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from whmr_tpu.config import WHMRConfig
+    from whmr_tpu.data.assets import get_assets
+    from whmr_tpu.inference.pipeline import (
+        BboxFileDetector,
+        DemoPipeline,
+        FullImageDetector,
+    )
+    from whmr_tpu.models.regressor import body_consts_from_assets
+    from whmr_tpu.models.whmr import WHMR
+    from whmr_tpu.training.train_step import create_train_state
+    from whmr_tpu.utils.checkpoint import CheckpointManager
+    from whmr_tpu.utils.testing import make_example_inputs
+
+    cfg = WHMRConfig()
+    assets = get_assets(args.data_dir)
+    consts = body_consts_from_assets(assets)
+    model = WHMR(cfg)
+    example = make_example_inputs(cfg, 2)
+    state = create_train_state(
+        cfg, model, consts, jax.random.PRNGKey(0),
+        {k: jnp.asarray(v) for k, v in example.items()},
+    )
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    if args.checkpoint:
+        ckpt = CheckpointManager(args.checkpoint)
+        payload = ckpt.restore(
+            template={
+                "params": state.params,
+                "batch_stats": state.batch_stats,
+                "opt_state": state.opt_state,
+                "step": np.zeros((), np.int32),
+                "epoch": 0,
+            }
+        )
+        if payload is None:
+            raise SystemExit(f"no checkpoint in {args.checkpoint}")
+        variables = {"params": payload["params"], "batch_stats": payload["batch_stats"]}
+
+    detector = (
+        BboxFileDetector(args.bbox_file) if args.detector == "file" else FullImageDetector()
+    )
+    pipeline = DemoPipeline(
+        cfg, variables, assets,
+        max_people=args.max_people, detector=detector,
+        use_camcalib=not args.no_camcalib,
+    )
+    stats = pipeline.run_folder(
+        args.image_folder, args.output_folder,
+        render=not args.no_render, save_obj_files=args.save_obj,
+    )
+    print(
+        f"W-HMR demo: {stats['images']} images, {stats['people']} people, "
+        f"{stats['fps']:.2f} img/s -> results in {args.output_folder}"
+    )
+
+
+if __name__ == "__main__":
+    main()

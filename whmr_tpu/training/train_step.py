@@ -66,12 +66,25 @@ def create_train_state(
     rng: jax.Array,
     example_args: Dict[str, jnp.ndarray],
 ) -> TrainState:
-    variables = model.init(
-        {"params": rng, "dropout": jax.random.fold_in(rng, 1)},
-        consts,
-        train=False,
-        **example_args,
-    )
+    # Always initialize the COMPLETE parameter tree: the CamCalib branch
+    # only traces when full_x is given, so init must include it or demo-time
+    # `full_x` inference finds no cam_model params.
+    example_args = dict(example_args)
+    if "full_x" not in example_args:
+        b = example_args["x"].shape[0]
+        ch, cw = cfg.cam_img_size
+        example_args["full_x"] = jnp.zeros((b, ch, cw, 3), example_args["x"].dtype)
+
+    # One jitted init: on remote-tunnel platforms an eager init would
+    # dispatch thousands of individual ops host-side.
+    variables = jax.jit(
+        lambda c, a: model.init(
+            {"params": rng, "dropout": jax.random.fold_in(rng, 1)},
+            c,
+            train=False,
+            **a,
+        )
+    )(consts, example_args)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", FrozenDict())
     tx = make_optimizer(cfg)

@@ -1,0 +1,187 @@
+"""Training driver: epoch loop, validation, checkpointing, metric logging.
+
+Equivalent of reference `core/trainer.py` Trainer / `core/base_trainer.py`
+BaseTrainer, restructured around the jitted sharded train step:
+
+- epoch loop with per-epoch loader reshuffle (trainer.py:322-378)
+- periodic validation -> MPJPE/PA-MPJPE/PVE -> best-checkpoint
+  (trainer.py:638-665, 753-907)
+- resume from latest checkpoint incl. step counters (base_trainer.py:35-48)
+- metric stream as JSON-lines (TB-equivalent observability; one record per
+  log interval with all loss terms, reference trainer.py:624-634)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from whmr_tpu.config import WHMRConfig
+from whmr_tpu.data.assets import get_assets
+from whmr_tpu.models.regressor import body_consts_from_assets
+from whmr_tpu.models.whmr import WHMR
+from whmr_tpu.parallel import batch_sharding, make_mesh, shard_params
+from whmr_tpu.training.gt_renderer import build_render_consts
+from whmr_tpu.training.train_step import (
+    TrainState,
+    create_train_state,
+    make_jitted_train_step,
+)
+from whmr_tpu.utils.checkpoint import CheckpointManager
+from whmr_tpu.utils.testing import make_example_inputs
+
+
+class MetricWriter:
+    """JSON-lines metric log (one object per record)."""
+
+    def __init__(self, log_dir: str, name: str = "metrics"):
+        os.makedirs(log_dir, exist_ok=True)
+        self.path = os.path.join(log_dir, f"{name}.jsonl")
+        self._f = open(self.path, "a")
+
+    def write(self, step: int, payload: Dict[str, Any]):
+        rec = {"step": int(step), "time": time.time()}
+        for k, v in payload.items():
+            try:
+                rec[k] = float(v)
+            except (TypeError, ValueError):
+                rec[k] = v
+        self._f.write(json.dumps(rec) + "\n")
+        self._f.flush()
+
+    def close(self):
+        self._f.close()
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg: WHMRConfig,
+        log_dir: str,
+        data_dir: Optional[str] = None,
+        mesh=None,
+        model_parallel: int = 1,
+        aux_rendering: bool = True,
+        dtype=jnp.float32,
+        seed: int = 0,
+    ):
+        self.cfg = cfg
+        self.log_dir = log_dir
+        assets = get_assets(data_dir)
+        self.consts = body_consts_from_assets(assets)
+        self.render_consts = (
+            build_render_consts(assets) if (aux_rendering and cfg.pymaf.aux_supv_on) else None
+        )
+        self.model = WHMR(cfg, dtype=dtype)
+        self.mesh = mesh if mesh is not None else make_mesh(model_parallel=model_parallel)
+
+        example = make_example_inputs(cfg, batch=2)
+        args = {
+            ("x" if k == "x" else k): jnp.asarray(v) for k, v in example.items()
+        }
+        self.state = create_train_state(
+            cfg, self.model, self.consts, jax.random.PRNGKey(seed), args
+        )
+        self.state = self.state.replace(
+            params=shard_params(self.state.params, self.mesh),
+            batch_stats=shard_params(self.state.batch_stats, self.mesh),
+        )
+        self.step_fn = make_jitted_train_step(
+            cfg, self.model, mesh=self.mesh, donate=True,
+            render_consts=self.render_consts,
+        )
+        self.ckpt = CheckpointManager(os.path.join(log_dir, "checkpoints"))
+        self.metrics = MetricWriter(log_dir)
+        self.epoch = 0
+        self.rng = jax.random.PRNGKey(seed + 1)
+
+    # -- checkpoint lifecycle (reference base_trainer.py:35-48) --------------
+    def resume(self) -> bool:
+        payload = self.ckpt.restore(
+            template={
+                "params": self.state.params,
+                "batch_stats": self.state.batch_stats,
+                "opt_state": self.state.opt_state,
+                "step": np.zeros((), np.int32),
+                "epoch": 0,
+            }
+        )
+        if payload is None:
+            return False
+        self.state = self.state.replace(
+            params=payload["params"],
+            batch_stats=payload["batch_stats"],
+            opt_state=payload["opt_state"],
+            step=jnp.asarray(payload["step"]),
+        )
+        self.epoch = int(payload["epoch"])
+        return True
+
+    def save(self, metric: Optional[float] = None):
+        self.ckpt.save(
+            int(self.state.step),
+            {
+                "params": jax.device_get(self.state.params),
+                "batch_stats": jax.device_get(self.state.batch_stats),
+                "opt_state": jax.device_get(self.state.opt_state),
+                "step": np.asarray(self.state.step),
+                "epoch": self.epoch,
+            },
+            metric=metric,
+        )
+
+    # -- train loop ----------------------------------------------------------
+    def train_epoch(
+        self,
+        loader: Iterable[Dict[str, np.ndarray]],
+        log_every: int = 100,
+        max_steps: Optional[int] = None,
+    ) -> Dict[str, float]:
+        sharding = batch_sharding(self.mesh)
+        last = {}
+        for i, host_batch in enumerate(loader):
+            if max_steps is not None and i >= max_steps:
+                break
+            batch = jax.device_put(host_batch, sharding)
+            self.rng, step_rng = jax.random.split(self.rng)
+            self.state, metrics = self.step_fn(
+                self.state, self.consts, batch, step_rng
+            )
+            if (i + 1) % log_every == 0 or (
+                max_steps is not None and i == max_steps - 1
+            ):
+                last = {k: float(v) for k, v in metrics.items()}
+                self.metrics.write(int(self.state.step), last)
+        return last
+
+    def fit(
+        self,
+        loader_factory,
+        num_epochs: Optional[int] = None,
+        validate_fn=None,
+        steps_per_epoch: Optional[int] = None,
+        log_every: int = 100,
+    ):
+        """Full fit loop (reference trainer.py:638-665).
+
+        loader_factory(epoch) -> iterable of host batches.
+        validate_fn(state) -> dict with 'pa_mpjpe' for best-ckpt tracking.
+        """
+        num_epochs = num_epochs or self.cfg.train.num_epochs
+        for epoch in range(self.epoch, num_epochs):
+            self.epoch = epoch
+            loader = loader_factory(epoch)
+            last = self.train_epoch(loader, log_every=log_every, max_steps=steps_per_epoch)
+            metric = None
+            if validate_fn is not None:
+                val = validate_fn(self.state)
+                self.metrics.write(int(self.state.step), {f"val_{k}": v for k, v in val.items()})
+                metric = val.get("pa_mpjpe")
+            self.save(metric=metric)
+        return self.state

@@ -1,0 +1,73 @@
+"""Checkpoint save/resume with latest / by-step / best policies.
+
+Orbax-backed equivalent of reference `utils/saver.py` CheckpointSaver
+(:8-117): overwrite-latest, save-every-N-steps, per-epoch, best-metric copy,
+resume-latest by step number. State payload mirrors the reference's
+{model, optimizer, epoch, batch_idx, total_step_count} (saver.py:26-64) as
+{params, batch_stats, opt_state, step, epoch, batch_idx}.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(self, save_dir: str, max_to_keep: int = 5):
+        self.save_dir = os.path.abspath(save_dir)
+        os.makedirs(self.save_dir, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            self.save_dir,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, create=True
+            ),
+        )
+        self._best_metric: Optional[float] = None
+        self._best_dir = os.path.join(self.save_dir, "best")
+
+    def save(self, step: int, payload: Dict[str, Any], metric: Optional[float] = None, lower_is_better: bool = True):
+        """Save a step checkpoint; track/copy best by `metric`."""
+        self._mgr.save(step, args=ocp.args.StandardSave(payload))
+        self._mgr.wait_until_finished()
+        if metric is not None:
+            better = (
+                self._best_metric is None
+                or (metric < self._best_metric if lower_is_better else metric > self._best_metric)
+            )
+            if better:
+                self._best_metric = float(metric)
+                best = ocp.StandardCheckpointer()
+                if os.path.exists(self._best_dir):
+                    import shutil
+
+                    shutil.rmtree(self._best_dir)
+                best.save(self._best_dir, payload)
+                best.wait_until_finished()
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def restore(self, step: Optional[int] = None, template: Optional[Dict[str, Any]] = None) -> Optional[Dict[str, Any]]:
+        """Restore by step (default latest). With a template pytree the
+        arrays come back with matching structure/dtypes."""
+        step = step if step is not None else self.latest_step()
+        if step is None:
+            return None
+        if template is not None:
+            return self._mgr.restore(
+                step, args=ocp.args.StandardRestore(template)
+            )
+        return self._mgr.restore(step)
+
+    def restore_best(self, template: Optional[Dict[str, Any]] = None):
+        if not os.path.exists(self._best_dir):
+            return None
+        ck = ocp.StandardCheckpointer()
+        if template is not None:
+            return ck.restore(self._best_dir, target=template)
+        return ck.restore(self._best_dir)
