@@ -1,0 +1,51 @@
+"""Pallas rasterizer kernel: parity vs the XLA scan rasterizer (interpret
+mode on CPU; the compiled path is exercised on TPU by the training bench)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from whmr_tpu.data.assets import synthetic_smpl_assets
+from whmr_tpu.ops.rasterizer import project_weak_perspective_to_pixels, rasterize
+from whmr_tpu.ops.rasterizer_pallas import rasterize_pallas
+
+
+class TestPallasParity:
+    def test_triangles_match_xla(self, rng):
+        verts = jnp.asarray(rng.uniform(2, 30, size=(2, 12, 2)).astype(np.float32))
+        z = jnp.asarray(rng.uniform(2, 8, size=(2, 12)).astype(np.float32))
+        attrs = jnp.asarray(rng.rand(2, 12, 3).astype(np.float32))
+        faces = rng.randint(0, 12, size=(6, 3)).astype(np.int32)
+        ref = rasterize(verts, z, attrs, faces, resolution=(32, 32), chunk=4)
+        out = rasterize_pallas(
+            verts, z, attrs, faces, resolution=(32, 32), chunk=8, tile_p=256,
+            interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(out.mask), np.asarray(ref.mask))
+        np.testing.assert_allclose(
+            np.asarray(out.zbuf), np.asarray(ref.zbuf), rtol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.attrs), np.asarray(ref.attrs), atol=1e-4
+        )
+
+    def test_smpl_mesh_matches_xla(self, rng):
+        assets = synthetic_smpl_assets()
+        verts = jnp.asarray(assets.v_template[None])
+        cam = jnp.asarray([[0.9, 0.0, 0.0]])
+        vp, vz = project_weak_perspective_to_pixels(verts, cam, (64, 64))
+        attrs = jnp.asarray(np.tile(assets.v_template[None], (1, 1, 1)).astype(np.float32))
+        ref = rasterize(vp, vz, attrs, assets.faces, resolution=(64, 64), chunk=2048)
+        out = rasterize_pallas(
+            vp, vz, attrs, assets.faces, resolution=(64, 64), chunk=512,
+            tile_p=512, interpret=True,
+        )
+        # mask parity within a tiny boundary tolerance (argmin tie-breaks)
+        agree = (np.asarray(out.mask) == np.asarray(ref.mask)).mean()
+        assert agree > 0.999
+        both = np.asarray(out.mask) & np.asarray(ref.mask)
+        za = np.asarray(out.zbuf)[both]
+        zb = np.asarray(ref.zbuf)[both]
+        # fp32 accumulation-order differences sit at the ~1e-4 level, with
+        # rare coincident-face tie swaps at silhouette boundaries; GT
+        # supervision maps are insensitive at this scale.
+        np.testing.assert_allclose(za, zb, rtol=5e-3)

@@ -100,6 +100,14 @@ class NpzDataset:
         else:
             self.gender = -np.ones(n, np.int32)
 
+        # Eval-protocol extras (reference eval-dataset variants,
+        # datasets/__init__.py:1-6): per-sample GT camera rotation and
+        # world-frame pose (evaluate/eval.py:157-179) and detector scores
+        # (evaluate/base_dataset.py:119,333 for AGORA crops).
+        self.cam_rotmat = data["cam_rotmat"].astype(np.float32) if "cam_rotmat" in data else None
+        self.global_pose = data["global_pose"].astype(np.float32) if "global_pose" in data else None
+        self.det_score = data["det_score"].astype(np.float32) if "det_score" in data else None
+
     def __len__(self):
         return len(self.imgname)
 
@@ -182,7 +190,16 @@ class NpzDataset:
             idx = self.rng.choice(431, replace=False, size=masked)
             mvm_mask[idx] = 0.0
 
+        extras = {}
+        if self.cam_rotmat is not None:
+            extras["cam_rotmat"] = self.cam_rotmat[index]
+        if self.global_pose is not None:
+            extras["global_pose"] = self.global_pose[index]
+        if self.det_score is not None:
+            extras["det_score"] = self.det_score[index]
+
         return {
+            **extras,
             "img": img_norm.astype(np.float32),
             "pose": pose,
             "betas": self.betas[index].astype(np.float32),

@@ -68,6 +68,12 @@ def rasterize(
     """
     h, w = resolution
     b, v, c = attrs.shape
+    # Bound the live barycentric intermediate (B x P x chunk x 3 fp32):
+    # XLA fuses the vmapped scan body across the batch, so the chunk size
+    # must shrink with batch to stay well under HBM (~1 GB budget here).
+    budget_elems = (1 << 28) // 4  # 256 MB of fp32
+    max_chunk = max(64, budget_elems // max(b * h * w * 3, 1))
+    chunk = min(chunk, max_chunk)
     faces_np = np.asarray(faces)
     fchunks = jnp.asarray(_face_chunks(faces_np, chunk))  # (K, chunk, 3)
 
