@@ -72,6 +72,10 @@ class WHMR(nn.Module):
 
     def setup(self):
         c = self.cfg
+        # The global-orient head consumes the marker-step body feature
+        # (2144+5-d), which only exists from the second MAF step on; the
+        # reference likewise NameErrors below N_ITER=2 (whmr.py:608,631).
+        assert 2 <= c.pymaf.n_iter <= 3, c.pymaf.n_iter
         if c.pymaf.backbone == "vitpose":
             self.feature_extractor = ViTBackbone(c.vit, dtype=self.dtype)
         else:

@@ -72,8 +72,10 @@ def create_train_state(
     example_args = dict(example_args)
     if "full_x" not in example_args:
         b = example_args["x"].shape[0]
-        ch, cw = cfg.cam_img_size
-        example_args["full_x"] = jnp.zeros((b, ch, cw, 3), example_args["x"].dtype)
+        # CamCalib is fully convolutional + global-pooled: its param shapes
+        # are input-size independent, so init with a small dummy (compiling
+        # the 600x600 branch at init costs minutes on remote-compile hosts).
+        example_args["full_x"] = jnp.zeros((b, 64, 64, 3), example_args["x"].dtype)
 
     # One jitted init: on remote-tunnel platforms an eager init would
     # dispatch thousands of individual ops host-side.
