@@ -16,7 +16,9 @@ Mosaic-shaped design notes:
   interpolation into three (tile_p, chunk) x (chunk, C) matmuls.
 - The depth accumulator lives as (tile_p, 1) and writes a (B, P, 1) output.
 
-Grid: (batch, pixel_tiles); fori_loop over face chunks inside.
+Grid: (batch, pixel_tiles); fori_loop over face chunks inside. The
+live (tile_p, chunk) temporaries must fit scoped VMEM (~16 MB on v5e):
+tile_p=1024 x chunk=256 keeps ~10 such temps near 10 MB.
 """
 
 from __future__ import annotations
@@ -66,12 +68,16 @@ def _face_tables(verts_pix, verts_z, attrs, faces):
     # which would PASS the >= 0 coverage test; poison their constant term.
     degenerate = (jnp.abs(area) <= 1e-9)[:, None, :]
     coef_c = jnp.where(degenerate, -1.0, coef_c)
+    b, f, _, c = ta.shape
+    # Attribute rows laid out (B, 3*C, F), row = j*C + c: keeps F on the
+    # 128-lane axis (a trailing C=3 dim would pad 42x in VMEM tiling).
+    ta_rows = jnp.transpose(ta, (0, 2, 3, 1)).reshape(b, 3 * c, f)
     return (
         coef_a,
         coef_b,
         coef_c,
         jnp.swapaxes(tz, 1, 2),  # (B, 3, F)
-        jnp.swapaxes(ta, 1, 2),  # (B, 3, F, C)
+        ta_rows,                 # (B, 3C, F)
     )
 
 
@@ -108,11 +114,20 @@ def _kernel(
         cnt = jnp.sum(win, axis=1, keepdims=True)
         win = win / jnp.maximum(cnt, 1.0)
 
-        win_attr = (
-            jnp.dot(win * b0, ta_ref[0, 0, sl], preferred_element_type=jnp.float32)
-            + jnp.dot(win * b1, ta_ref[0, 1, sl], preferred_element_type=jnp.float32)
-            + jnp.dot(win * b2, ta_ref[0, 2, sl], preferred_element_type=jnp.float32)
-        )  # (tile_p, C)
+        # Per-channel attribute interpolation as broadcast-multiply +
+        # row-sum (VPU); ta rows are (1, chunk) slices, no transposes.
+        wb = (win * b0, win * b1, win * b2)
+        cols = []
+        for c_idx in range(n_attr):
+            acc = None
+            for j in range(3):
+                term = jnp.sum(
+                    wb[j] * ta_ref[0, j * n_attr + c_idx:j * n_attr + c_idx + 1, sl],
+                    axis=1, keepdims=True,
+                )
+                acc = term if acc is None else acc + term
+            cols.append(acc)
+        win_attr = jnp.concatenate(cols, axis=1)  # (tile_p, C)
 
         take = cz < best_z
         return (
@@ -135,8 +150,8 @@ def rasterize_pallas(
     attrs: jnp.ndarray,
     faces: np.ndarray,
     resolution: Tuple[int, int] = (128, 128),
-    chunk: int = 512,
-    tile_p: int = 2048,
+    chunk: int = 256,
+    tile_p: int = 1024,
     interpret: bool = False,
 ) -> RasterOut:
     """Drop-in alternative to ops.rasterizer.rasterize (same signature/out)."""
@@ -168,7 +183,7 @@ def rasterize_pallas(
             face_spec,
             face_spec,
             pl.BlockSpec(
-                (1, 3, n_faces, c), lambda i, j: (i, 0, 0, 0),
+                (1, 3 * c, n_faces), lambda i, j: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
