@@ -55,3 +55,18 @@ class TestTrainer:
         assert trainer.ckpt._best_metric == 3.0
         best = trainer.ckpt.restore_best()
         assert best is not None
+
+    def test_validate_fn_glue(self, tmp_path):
+        """Trainer.make_validate_fn runs the eval pipeline over a loader."""
+        from whmr_tpu.utils.testing import make_example_train_batch
+
+        cfg = tiny_config()
+        trainer = Trainer(cfg, str(tmp_path / "run3"), aux_rendering=False)
+
+        def val_loader():
+            yield make_example_train_batch(cfg, 4, seed=99)
+
+        validate = trainer.make_validate_fn(val_loader)
+        result = validate(trainer.state)
+        assert result["count"] == 4
+        assert np.isfinite(result["pa_mpjpe"])

@@ -83,11 +83,14 @@ def make_eval_step(cfg: WHMRConfig, model: WHMR, gendered_smpl=None):
         pred_verts = preds["global_output"]["global_verts"]
         pred_j14 = preds["global_output"]["global_kp_3d"]  # pelvis-centered J14
 
-        # GT: either direct vertices (3dpw gendered) or pose/betas.
+        # GT: either direct vertices (3dpw gendered) or pose/betas. The
+        # world-frame protocol prefers global_pose when the labels carry it
+        # (eval.py:157-163: predictions are world-frame global verts).
         if "gt_vertices" in batch:
             gt_verts = batch["gt_vertices"]
         else:
-            gt_rotmats = batch_rodrigues(batch["pose"].reshape(-1, 3)).reshape(-1, 24, 3, 3)
+            gt_pose = batch.get("global_pose", batch["pose"])
+            gt_rotmats = batch_rodrigues(gt_pose.reshape(-1, 3)).reshape(-1, 24, 3, 3)
             gt_verts = smpl_forward(consts.smpl, batch["betas"], gt_rotmats).vertices
             if gendered_smpl is not None and "gender" in batch:
                 male = smpl_forward(gendered_smpl["male"], batch["betas"], gt_rotmats).vertices

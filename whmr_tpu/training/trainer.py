@@ -160,6 +160,41 @@ class Trainer:
                 self.metrics.write(int(self.state.step), last)
         return last
 
+    def make_validate_fn(self, val_loader_factory, gendered_smpl=None):
+        """Validation hook for fit(): runs the eval pipeline over a loader
+        (reference trainer.validate, trainer.py:753-849)."""
+        import jax.numpy as jnp
+
+        from whmr_tpu.inference.evaluate import run_evaluation
+
+        def validate(state):
+            variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+            def batches():
+                for hb in val_loader_factory():
+                    b = {
+                        k: jnp.asarray(v)
+                        for k, v in hb.items()
+                        if k in (
+                            "img", "center", "scale", "bbox_height",
+                            "orig_shape", "bbox_info", "pose", "betas", "gender",
+                        )
+                    }
+                    n = b["img"].shape[0]
+                    b["valid"] = jnp.asarray(hb.get("has_smpl", np.ones(n)))
+                    if "cam_rotmat" in hb:
+                        b["cam_rotmat"] = jnp.asarray(hb["cam_rotmat"])
+                    else:
+                        b["cam_rotmat"] = jnp.broadcast_to(jnp.eye(3), (n, 3, 3))
+                    yield b
+
+            return run_evaluation(
+                self.cfg, self.model, variables, self.consts, batches(),
+                log_every=0, gendered_smpl=gendered_smpl,
+            )
+
+        return validate
+
     def fit(
         self,
         loader_factory,
