@@ -95,3 +95,26 @@ def shard_params(params, mesh: Mesh, use_tp: Optional[bool] = None):
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map_with_path(place, params)
+
+
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Multi-host initialization over DCN (SURVEY §2.4: replaces the
+    reference's tcp:// NCCL rendezvous, train.py:26-28).
+
+    On TPU pods the arguments are auto-detected from the environment; pass
+    them explicitly for CPU/GPU multi-process runs. After this, jax.devices()
+    spans all hosts and the data-parallel loader shards by
+    jax.process_index() (data/loader.py).
+    """
+    import jax
+
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    jax.distributed.initialize(**kwargs)
