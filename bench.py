@@ -27,6 +27,9 @@ import numpy as np
 
 
 def main():
+    from whmr_tpu.utils.profiling import enable_compile_cache
+
+    enable_compile_cache()
     import jax
     import jax.numpy as jnp
     from jax import lax

@@ -70,3 +70,20 @@ class TestResNet:
         before = jax.tree.leaves(variables["batch_stats"])[0]
         after = jax.tree.leaves(updated["batch_stats"])[0]
         assert np.abs(np.asarray(before) - np.asarray(after)).max() > 0
+
+
+class TestRemat:
+    def test_remat_matches_non_remat(self, rng):
+        from dataclasses import replace
+
+        cfg = ViTConfig(embed_dim=64, depth=2, num_heads=2, drop_path_rate=0.0)
+        x = jnp.asarray(rng.randn(2, 256, 192, 3).astype(np.float32))
+        m1 = ViTBackbone(cfg)
+        params = m1.init(jax.random.PRNGKey(0), x)
+        m2 = ViTBackbone(replace(cfg, remat=True))
+        out1 = m1.apply(params, x)
+        out2 = m2.apply(params, x)
+        np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-5)
+        # gradients flow through the remat path
+        g = jax.grad(lambda p: jnp.sum(m2.apply(p, x) ** 2))(params)
+        assert np.isfinite(np.asarray(jax.tree.leaves(g)[0])).all()

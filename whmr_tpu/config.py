@@ -81,11 +81,31 @@ class ViTConfig:
     # Padded patch embed (vit.py:158): pad=4 -> 16x12 tokens at 256x192.
     patch_padding: int = 4
 
+    # Rematerialize each block in the backward pass (jax.checkpoint):
+    # trades ~30% more FLOPs for O(depth) less activation memory — the knob
+    # for ViT-L/H training (SURVEY §7 step 10).
+    remat: bool = False
+
     @property
     def grid_hw(self) -> Tuple[int, int]:
         h = (self.img_size[0] + 2 * self.patch_padding - self.patch_size) // self.patch_size + 1
         w = (self.img_size[1] + 2 * self.patch_padding - self.patch_size) // self.patch_size + 1
         return (h, w)
+
+
+def vit_base() -> "ViTConfig":
+    return ViTConfig()
+
+
+def vit_large() -> "ViTConfig":
+    """ViTPose-L geometry (embed 1024, depth 24, heads 16)."""
+    return ViTConfig(embed_dim=1024, depth=24, num_heads=16, drop_path_rate=0.5, remat=True)
+
+
+def vit_huge() -> "ViTConfig":
+    """ViTPose-H geometry (embed 1280, depth 32, heads 16) — the scale the
+    'model' mesh axis (Megatron TP) is sized for."""
+    return ViTConfig(embed_dim=1280, depth=32, num_heads=16, drop_path_rate=0.55, remat=True)
 
 
 @dataclass(frozen=True)

@@ -93,15 +93,21 @@ class ViTBackbone(nn.Module):
         drop_rates = [
             c.drop_path_rate * i / max(c.depth - 1, 1) for i in range(c.depth)
         ]
+        block_cls = ViTBlock
+        if c.remat:
+            # Per-block rematerialization: backward recomputes activations
+            # instead of storing depth x (B, N, C) — the memory knob for
+            # ViT-L/H training.
+            block_cls = nn.remat(ViTBlock, static_argnums=(2,))
         for i in range(c.depth):
-            x = ViTBlock(
+            x = block_cls(
                 num_heads=c.num_heads,
                 mlp_ratio=c.mlp_ratio,
                 qkv_bias=c.qkv_bias,
                 drop_path=drop_rates[i],
                 dtype=self.dtype,
                 name=f"block{i}",
-            )(x, deterministic=not train)
+            )(x, not train)
 
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="last_norm")(x)
         return x.reshape(b, hp, wp, c.embed_dim)

@@ -33,6 +33,10 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None):
     args = build_parser().parse_args(argv)
 
+    from whmr_tpu.utils.profiling import enable_compile_cache
+
+    enable_compile_cache()
+
     import jax.numpy as jnp
 
     from whmr_tpu.config import WHMRConfig, load_yaml

@@ -58,3 +58,15 @@ def device_memory_stats() -> Optional[Dict[str, int]]:
         return {k: int(v) for k, v in stats.items()} if stats else None
     except (AttributeError, NotImplementedError):
         return None
+
+
+def enable_compile_cache(path: str = "/tmp/whmr_jax_cache") -> None:
+    """Persistent XLA compilation cache: first run compiles (slow on
+    remote-compile hosts), reruns load from disk."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
