@@ -1,0 +1,69 @@
+"""Config system tests: overrides, YAML loading, hashability."""
+
+import textwrap
+
+from whmr_tpu.config import WHMRConfig, load_yaml, vit_huge, vit_large
+
+
+class TestOverrides:
+    def test_dotted_overrides(self):
+        cfg = WHMRConfig().with_overrides(
+            **{"pymaf.n_iter": 2, "train.batch_size": 32, "loss.kp_2d_w": 5.0}
+        )
+        assert cfg.pymaf.n_iter == 2
+        assert cfg.train.batch_size == 32
+        assert cfg.loss.kp_2d_w == 5.0
+        # untouched fields keep defaults
+        assert cfg.pymaf.backbone == "vitpose"
+
+    def test_string_coercion(self):
+        cfg = WHMRConfig().with_overrides(
+            **{"pymaf.aux_supv_on": "false", "train.stage": "1", "train.base_lr": "0.001"}
+        )
+        assert cfg.pymaf.aux_supv_on is False
+        assert cfg.train.stage == 1
+        assert cfg.train.base_lr == 0.001
+
+    def test_hashable_for_jit_static(self):
+        assert hash(WHMRConfig()) == hash(WHMRConfig())
+        a = WHMRConfig()
+        b = a.with_overrides(**{"pymaf.n_iter": 2})
+        assert hash(a) != hash(b)
+
+
+class TestYaml:
+    def test_reference_yaml_mapping(self, tmp_path):
+        """Reference pymaf_config.yaml keys map onto the dataclass tree."""
+        y = tmp_path / "cfg.yaml"
+        y.write_text(textwrap.dedent("""
+            SOLVER:
+              BASE_LR: 0.0001
+            TRAIN:
+              STAGE: 1
+              BATCH_SIZE: 16
+            LOSS:
+              KP_3D_W: 150.0
+            MODEL:
+              PyMAF:
+                BACKBONE: 'res50'
+                N_ITER: 3
+                MLP_DIM: [256, 128, 64, 32]
+                AUX_SUPV_ON: False
+        """))
+        cfg = load_yaml(str(y))
+        assert cfg.train.base_lr == 0.0001
+        assert cfg.train.stage == 1
+        assert cfg.train.batch_size == 16
+        assert cfg.loss.kp_3d_w == 150.0
+        assert cfg.pymaf.backbone == "res50"
+        assert cfg.pymaf.aux_supv_on is False
+
+
+class TestPresets:
+    def test_vit_presets(self):
+        l = vit_large()
+        h = vit_huge()
+        assert l.embed_dim == 1024 and l.depth == 24 and l.remat
+        assert h.embed_dim == 1280 and h.depth == 32
+        # TP divisibility: heads divide evenly over a 2-way model axis
+        assert l.num_heads % 2 == 0 and h.num_heads % 2 == 0

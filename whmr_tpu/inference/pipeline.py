@@ -74,6 +74,7 @@ def prepare_crop_batch(
     image: np.ndarray,
     detections: Sequence[Detection],
     max_people: int,
+    raw_uint8: bool = False,
 ) -> Dict[str, np.ndarray]:
     """Person crops + camera context, padded to max_people.
 
@@ -88,7 +89,9 @@ def prepare_crop_batch(
     n = min(len(detections), max_people)
     crop_h, crop_w = cfg.crop_hw
 
-    imgs = np.zeros((max_people, crop_h, crop_w, 3), np.float32)
+    imgs = np.zeros(
+        (max_people, crop_h, crop_w, 3), np.uint8 if raw_uint8 else np.float32
+    )
     centers = np.zeros((max_people, 2), np.float32)
     scales = np.zeros((max_people,), np.float32) + 1.0
     bbox_heights = np.zeros((max_people,), np.float32) + 1.0
@@ -101,10 +104,14 @@ def prepare_crop_batch(
         center = np.array([det.cx, det.cy], np.float32)
         scale = det.size / 200.0
         crop = crop_image(image.astype(np.float32), center, scale, res)
-        crop = normalize_image(crop / 255.0)
         if cfg.pymaf.backbone == "vitpose":
             crop = crop[:, 32:-32]
-        imgs[i] = crop
+        if raw_uint8:
+            # normalization happens on device (quarter the host->device
+            # bytes through slow transports)
+            imgs[i] = np.clip(crop, 0, 255).astype(np.uint8)
+        else:
+            imgs[i] = normalize_image(crop / 255.0)
         centers[i] = center
         scales[i] = scale
         bbox_heights[i] = det.size
@@ -127,13 +134,17 @@ def prepare_crop_batch(
     }
 
 
-def prepare_full_image(cfg: WHMRConfig, image: np.ndarray) -> np.ndarray:
+def prepare_full_image(cfg: WHMRConfig, image: np.ndarray, raw_uint8: bool = False) -> np.ndarray:
     """CamCalib input: resize so the long side is cam_img_size, pad square
     (reference tester.py:100-104 resizes to 600)."""
     th, tw = cfg.cam_img_size
     h, w = image.shape[:2]
     s = min(th / h, tw / w)
     resized = cv2.resize(image, (int(w * s), int(h * s)))
+    if raw_uint8:
+        canvas = np.zeros((th, tw, 3), np.uint8)
+        canvas[: resized.shape[0], : resized.shape[1]] = resized
+        return canvas
     canvas = np.zeros((th, tw, 3), np.float32)
     canvas[: resized.shape[0], : resized.shape[1]] = resized
     return normalize_np(canvas / 255.0)
@@ -173,11 +184,19 @@ class DemoPipeline:
         self.model = WHMR(cfg, dtype=dtype or jnp.float32)
         self.variables = variables
 
-        def fwd(variables, consts, batch, full_x):
+        def fwd(variables, consts, batch, full_u8):
+            # uint8 in, normalize on device: 4x fewer transfer bytes and the
+            # full frame ships ONCE (CamCalib result broadcasts per person).
+            mean = jnp.asarray(IMG_NORM_MEAN, jnp.float32)
+            std = jnp.asarray(IMG_NORM_STD, jnp.float32)
+            x = (batch["x"].astype(jnp.float32) / 255.0 - mean) / std
+            full_x = None
+            if full_u8 is not None:
+                full_x = (full_u8.astype(jnp.float32) / 255.0 - mean) / std
             out = self.model.apply(
                 variables,
                 consts,
-                batch["x"],
+                x,
                 batch["center"],
                 batch["scale"],
                 batch["bbox_height"],
@@ -208,13 +227,16 @@ class DemoPipeline:
             dets = self.detector(image, name)
         except TypeError:
             dets = self.detector(image)
-        batch = prepare_crop_batch(self.cfg, image, dets, self.max_people)
+        batch = prepare_crop_batch(
+            self.cfg, image, dets, self.max_people, raw_uint8=True
+        )
         full_x = None
         if self.use_camcalib:
-            full1 = prepare_full_image(self.cfg, image)
             full_x = jnp.asarray(
-                np.tile(full1[None], (self.max_people, 1, 1, 1))
+                prepare_full_image(self.cfg, image, raw_uint8=True)[None]
             )
+        import jax
+
         out = self._fwd(
             self.variables,
             self.consts,
@@ -222,7 +244,10 @@ class DemoPipeline:
             full_x,
         )
         n = int(batch["valid"].sum())
-        result = {k: np.asarray(v)[:n] for k, v in out.items()}
+        # One bulk device->host fetch (per-array np.asarray costs one tunnel
+        # round trip EACH on remote transports).
+        out_host = jax.device_get(out)
+        result = {k: v[:n] for k, v in out_host.items()}
         result["n_people"] = n
         result["detections"] = np.array(
             [[d.cx, d.cy, d.size, d.score] for d in dets[:n]], np.float32

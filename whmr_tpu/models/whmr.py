@@ -177,6 +177,12 @@ class WHMR(nn.Module):
                 render_rotmat = lax.stop_gradient(
                     euler_to_rotmat(jnp.stack([-pitch, zeros, roll], axis=-1))
                 )
+                if full_x.shape[0] == 1 and batch_size > 1:
+                    # Demo path: all crops come from the SAME frame — ship
+                    # the full image once and broadcast the camera rotation
+                    # (the reference tiles it per person, tester.py:151-162).
+                    cam_rotmat = jnp.broadcast_to(cam_rotmat, (batch_size, 3, 3))
+                    render_rotmat = jnp.broadcast_to(render_rotmat, (batch_size, 3, 3))
             else:
                 cam_rotmat = jnp.broadcast_to(
                     jnp.eye(3, dtype=x.dtype), (batch_size, 3, 3)

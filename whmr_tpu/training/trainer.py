@@ -143,12 +143,15 @@ class Trainer:
         log_every: int = 100,
         max_steps: Optional[int] = None,
     ) -> Dict[str, float]:
+        from whmr_tpu.data.loader import device_prefetch
+
         sharding = batch_sharding(self.mesh)
         last = {}
-        for i, host_batch in enumerate(loader):
+        # Keep 2 batches in flight on device: host augmentation overlaps
+        # device compute (replaces DataLoader prefetch_factor, trainer.py:143).
+        for i, batch in enumerate(device_prefetch(iter(loader), size=2, sharding=sharding)):
             if max_steps is not None and i >= max_steps:
                 break
-            batch = jax.device_put(host_batch, sharding)
             self.rng, step_rng = jax.random.split(self.rng)
             self.state, metrics = self.step_fn(
                 self.state, self.consts, batch, step_rng
