@@ -106,3 +106,21 @@ class TestUncrop:
         inter = ((back > 100) & (img > 100)).sum()
         union = ((back > 100) | (img > 100)).sum()
         assert inter / union > 0.95
+
+
+class TestTracker:
+    def test_stable_ids_across_frames(self):
+        from whmr_tpu.utils.tracking import GreedyIoUTracker
+
+        t = GreedyIoUTracker()
+        f1 = np.array([[10, 10, 100, 200], [300, 50, 400, 260]], float)
+        ids1 = t.update(f1)
+        assert ids1 == [0, 1]
+        # both move slightly -> same ids
+        ids2 = t.update(f1 + 5.0)
+        assert ids2 == ids1
+        # one leaves, a new one enters far away
+        f3 = np.array([[305, 60, 405, 270], [600, 60, 680, 250]], float)
+        ids3 = t.update(f3)
+        assert ids3[0] == ids1[1]
+        assert ids3[1] == 2

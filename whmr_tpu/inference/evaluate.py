@@ -14,14 +14,12 @@ restructured for TPU:
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Iterable, Optional, Tuple
+from typing import Dict, Iterable
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from whmr_tpu.config import WHMRConfig
-from whmr_tpu.data.assets import H36M_TO_J14
 from whmr_tpu.models.regressor import BodyConsts
 from whmr_tpu.models.smpl import smpl_forward, select_h36m_j14
 from whmr_tpu.models.whmr import WHMR

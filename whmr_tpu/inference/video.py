@@ -9,10 +9,9 @@ covers the reference's dormant video path.
 from __future__ import annotations
 
 import os
-from typing import List, Optional
+from typing import List
 
 import cv2
-import numpy as np
 
 
 def video_to_images(video_path: str, out_dir: str, every_n: int = 1) -> List[str]:

@@ -13,7 +13,7 @@ Conventions (identical to the reference):
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax.numpy as jnp
 import numpy as np

@@ -20,7 +20,6 @@ renderer.py) where per-face bounding-box loops win on CPU.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple, Tuple
 
 import jax

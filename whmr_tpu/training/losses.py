@@ -19,7 +19,7 @@ plus the IUV cross-entropy / smooth-L1 aux terms and depth smooth-L1.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict, Optional
 
 import jax.numpy as jnp
 import optax

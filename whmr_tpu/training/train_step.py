@@ -14,7 +14,7 @@ The TPU counterpart of reference `Trainer.train_step` (core/trainer.py:
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -29,7 +29,6 @@ from whmr_tpu.models.whmr import WHMR
 from whmr_tpu.parallel import batch_sharding, make_mesh, shard_params
 from whmr_tpu.training.gt_renderer import build_render_consts
 from whmr_tpu.training.train_step import (
-    TrainState,
     create_train_state,
     make_jitted_train_step,
 )
@@ -98,6 +97,12 @@ class Trainer:
         )
         self.ckpt = CheckpointManager(os.path.join(log_dir, "checkpoints"))
         self.metrics = MetricWriter(log_dir)
+        # Run-config dump (reference utils/train_utils.py:54-65 writes
+        # args.json + cfg.yaml into the run dir).
+        import dataclasses
+
+        with open(os.path.join(log_dir, "config.json"), "w") as f:
+            json.dump(dataclasses.asdict(cfg), f, indent=2, default=str)
         self.epoch = 0
         self.rng = jax.random.PRNGKey(seed + 1)
 

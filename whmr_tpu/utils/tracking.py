@@ -118,3 +118,59 @@ class OneEuroFilter:
         self._x_prev = x_hat
         self._dx_prev = dx_hat
         return x_hat
+
+
+def iou_xyxy(a: np.ndarray, b: np.ndarray) -> float:
+    x1 = max(a[0], b[0]); y1 = max(a[1], b[1])
+    x2 = min(a[2], b[2]); y2 = min(a[3], b[3])
+    inter = max(0.0, x2 - x1) * max(0.0, y2 - y1)
+    area_a = (a[2] - a[0]) * (a[3] - a[1])
+    area_b = (b[2] - b[0]) * (b[3] - b[1])
+    return inter / max(area_a + area_b - inter, 1e-9)
+
+
+class GreedyIoUTracker:
+    """Frame-to-frame person association by greedy IoU matching.
+
+    Equivalent of the reference's tracker glue (`utils/pose_tracker.py`:
+    25-102 shells out to an external OpenPose/STAF tracker and regroups
+    results by person id); here detection boxes are associated in-process.
+    Returns stable integer track ids per frame.
+    """
+
+    def __init__(self, iou_thresh: float = 0.3, max_age: int = 10):
+        self.iou_thresh = iou_thresh
+        self.max_age = max_age
+        self._tracks = {}  # id -> (bbox, age)
+        self._next_id = 0
+
+    def update(self, boxes_xyxy: np.ndarray) -> List[int]:
+        """boxes (N, 4) -> list of track ids (new ids for unmatched)."""
+        ids = [-1] * len(boxes_xyxy)
+        used = set()
+        # age existing tracks
+        for tid in list(self._tracks):
+            bbox, age = self._tracks[tid]
+            if age >= self.max_age:
+                del self._tracks[tid]
+            else:
+                self._tracks[tid] = (bbox, age + 1)
+        # greedy best-first matching
+        pairs = []
+        for i, box in enumerate(boxes_xyxy):
+            for tid, (tb, _) in self._tracks.items():
+                iou = iou_xyxy(np.asarray(box, float), tb)
+                if iou >= self.iou_thresh:
+                    pairs.append((iou, i, tid))
+        for iou, i, tid in sorted(pairs, reverse=True):
+            if ids[i] == -1 and tid not in used:
+                ids[i] = tid
+                used.add(tid)
+                self._tracks[tid] = (np.asarray(boxes_xyxy[i], float), 0)
+        for i, box in enumerate(boxes_xyxy):
+            if ids[i] == -1:
+                tid = self._next_id
+                self._next_id += 1
+                ids[i] = tid
+                self._tracks[tid] = (np.asarray(box, float), 0)
+        return ids
