@@ -67,3 +67,14 @@ class TestPresets:
         assert h.embed_dim == 1280 and h.depth == 32
         # TP divisibility: heads divide evenly over a 2-way model axis
         assert l.num_heads % 2 == 0 and h.num_heads % 2 == 0
+
+
+class TestCliParsers:
+    def test_misc_overrides_in_all_clis(self):
+        from whmr_tpu.inference.demo_cli import build_parser as demo_p
+        from whmr_tpu.inference.eval_cli import build_parser as eval_p
+        from whmr_tpu.training.cli import build_parser as train_p
+
+        for build in (demo_p, eval_p, train_p):
+            parser = build()
+            assert any(a.dest == "misc" for a in parser._actions)

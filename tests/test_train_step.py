@@ -141,3 +141,24 @@ class TestAuxSupervision:
         assert "loss_U" in metrics
         assert np.isfinite(float(metrics["loss"]))
         assert float(metrics["loss_IndexUV"]) > 0
+
+
+class TestTPParity:
+    def test_tp_loss_matches_dp(self):
+        """Megatron TP sharding must not change the math: dp=4 x tp=2 loss
+        equals the pure-DP loss on the same batch/params."""
+        cfg = tiny_config()
+        model, state, consts, batch = setup_state(cfg, batch=8)
+        step_dp = make_jitted_train_step(cfg, model, mesh=make_mesh(), donate=False)
+        mesh_dp = make_mesh()
+        batch_dp = jax.device_put(batch, batch_sharding(mesh_dp))
+        _, m_dp = step_dp(state, consts, batch_dp, jax.random.PRNGKey(1))
+
+        mesh_tp = make_mesh(model_parallel=2)
+        state_tp = state.replace(params=shard_params(state.params, mesh_tp))
+        batch_tp = jax.device_put(batch, batch_sharding(mesh_tp))
+        step_tp = make_jitted_train_step(cfg, model, mesh=mesh_tp, donate=False)
+        _, m_tp = step_tp(state_tp, consts, batch_tp, jax.random.PRNGKey(1))
+        np.testing.assert_allclose(
+            float(m_dp["loss"]), float(m_tp["loss"]), rtol=1e-4
+        )

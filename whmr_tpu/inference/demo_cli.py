@@ -17,6 +17,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no_render", action="store_true")
     p.add_argument("--save_obj", action="store_true")
     p.add_argument("--no_camcalib", action="store_true")
+    p.add_argument("--misc", nargs="*", default=[],
+                   help="dotted config overrides: key value [key value ...]")
     return p
 
 
@@ -45,6 +47,8 @@ def main(argv=None):
     from whmr_tpu.utils.testing import make_example_inputs
 
     cfg = WHMRConfig()
+    if args.misc:
+        cfg = cfg.with_overrides(**dict(zip(args.misc[::2], args.misc[1::2])))
     assets = get_assets(args.data_dir)
     consts = body_consts_from_assets(assets)
     model = WHMR(cfg)

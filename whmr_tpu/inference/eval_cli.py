@@ -13,6 +13,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--data_dir", default=None, help="asset dir")
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--log_freq", type=int, default=10)
+    p.add_argument("--misc", nargs="*", default=[],
+                   help="dotted config overrides: key value [key value ...]")
     return p
 
 
@@ -39,6 +41,8 @@ def main(argv=None):
     from whmr_tpu.utils.testing import make_example_inputs
 
     cfg = WHMRConfig()
+    if args.misc:
+        cfg = cfg.with_overrides(**dict(zip(args.misc[::2], args.misc[1::2])))
     assets = get_assets(args.data_dir)
     consts = body_consts_from_assets(assets)
     model = WHMR(cfg)
