@@ -40,9 +40,9 @@ def main():
     from whmr_tpu.models.whmr import WHMR
     from whmr_tpu.utils.testing import make_example_inputs
 
-    # Batch 64 measured faster than 128 on v5e (2036 vs 1866 crops/s) —
-    # the MAF/regressor stages are latency- not throughput-bound there.
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    # Batch sweep on v5e (crops/s): 32->1873, 48->2123, 64->2003, 96->1859,
+    # 128->1866. 48 wins (9216 tokens = clean MXU tiling for the ViT).
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 48
     iters = 10
 
     cfg = WHMRConfig()
