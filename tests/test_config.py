@@ -78,3 +78,25 @@ class TestCliParsers:
         for build in (demo_p, eval_p, train_p):
             parser = build()
             assert any(a.dest == "misc" for a in parser._actions)
+
+
+class TestReferenceYamlFile:
+    def test_loads_actual_reference_config(self):
+        """Load the real reference pymaf_config.yaml when present."""
+        import os
+        import pytest
+
+        path = "/root/reference/configs/pymaf_config.yaml"
+        if not os.path.exists(path):
+            pytest.skip("reference checkout not available")
+        from whmr_tpu.config import load_yaml
+
+        cfg = load_yaml(path)
+        assert cfg.pymaf.backbone == "vitpose"
+        assert cfg.pymaf.n_iter == 3
+        assert cfg.pymaf.aux_supv_on is True
+        assert cfg.train.stage == 2
+        assert cfg.train.batch_size == 64
+        assert cfg.train.base_lr == 5e-5
+        assert cfg.loss.kp_3d_w == 300.0
+        assert cfg.pymaf.mlp_dim == (256, 128, 64, 32)
