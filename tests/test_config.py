@@ -100,3 +100,14 @@ class TestReferenceYamlFile:
         assert cfg.train.base_lr == 5e-5
         assert cfg.loss.kp_3d_w == 300.0
         assert cfg.pymaf.mlp_dim == (256, 128, 64, 32)
+
+
+class TestShippedDefaultYaml:
+    def test_default_yaml_matches_defaults(self):
+        """configs/default.yaml parses and reproduces the dataclass defaults."""
+        import os
+
+        from whmr_tpu.config import WHMRConfig, load_yaml
+
+        path = os.path.join(os.path.dirname(__file__), "..", "configs", "default.yaml")
+        assert load_yaml(path) == WHMRConfig()

@@ -142,6 +142,32 @@ class TestAuxSupervision:
         assert np.isfinite(float(metrics["loss"]))
         assert float(metrics["loss_IndexUV"]) > 0
 
+    def test_train_step_with_depth_supervision(self):
+        """DEPTH_SUPV_ON wires GT depth render -> loss_Depth -> dpth_head grad
+        (reference core/trainer.py:489-495)."""
+        from dataclasses import replace
+
+        from whmr_tpu.data.assets import synthetic_smpl_assets
+        from whmr_tpu.training.gt_renderer import build_render_consts
+
+        cfg = tiny_config()
+        cfg = replace(cfg, pymaf=replace(cfg.pymaf, depth_supv_on=True))
+        model, state, consts, batch = setup_state(cfg)
+        render_consts = build_render_consts(synthetic_smpl_assets())
+        step_fn = make_jitted_train_step(
+            cfg, model, donate=False, render_consts=render_consts
+        )
+        new_state, metrics = step_fn(state, consts, batch, jax.random.PRNGKey(1))
+        assert "loss_Depth" in metrics
+        assert np.isfinite(float(metrics["loss_Depth"]))
+        assert float(metrics["loss_Depth"]) > 0
+        # Nonzero gradient must reach the depth head (Adam moves its params
+        # iff the grad is nonzero).
+        before = state.params["dpth_head"]
+        after = new_state.params["dpth_head"]
+        moved = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), before, after)
+        assert max(jax.tree.leaves(moved)) > 0
+
 
 class TestTPParity:
     def test_tp_loss_matches_dp(self):

@@ -56,6 +56,56 @@ class TestTrainer:
         best = trainer.ckpt.restore_best()
         assert best is not None
 
+    def test_mid_epoch_resume(self, tmp_path):
+        """Kill/resume continues within an epoch: batch_idx rides the
+        checkpoint payload (reference base_trainer.py:45-48)."""
+        cfg = tiny_config()
+        trainer = Trainer(cfg, str(tmp_path / "runM"), aux_rendering=False)
+        # train 3 batches with mid-epoch saves every 2
+        trainer.train_epoch(batch_iter(cfg, n_batches=3), log_every=1, save_every=2)
+        assert trainer.batch_idx == 3
+        trainer.save(batch_idx=trainer.batch_idx)
+
+        trainer2 = Trainer(cfg, str(tmp_path / "runM"), aux_rendering=False)
+        assert trainer2.resume()
+        assert trainer2.batch_idx == 3
+        assert int(trainer2.state.step) == 3
+        # fit skips the first 3 batches of the resumed epoch: with a 4-batch
+        # epoch only 1 step runs, then the next epoch runs all 4.
+        trainer2.fit(
+            lambda epoch: batch_iter(cfg, n_batches=4),
+            num_epochs=trainer2.epoch + 2,
+            log_every=1,
+        )
+        assert int(trainer2.state.step) == 3 + 1 + 4
+
+    def test_lr_decay_at_epoch_boundary(self):
+        """LR decays by gamma when the step count crosses a decay epoch
+        (reference trainer.py:330-338); epochs are converted to steps."""
+        from dataclasses import replace
+
+        from whmr_tpu.training.train_step import make_optimizer
+
+        cfg = tiny_config()
+        cfg = replace(cfg, train=replace(cfg.train, lr_decay_epochs=(2,)))
+        tx = make_optimizer(cfg, steps_per_epoch=5)
+        import jax.numpy as jnp
+        import optax
+
+        params = {"w": jnp.ones(3)}
+        state = tx.init(params)
+        grads = {"w": jnp.ones(3)}
+        lrs = []
+        for _ in range(12):
+            updates, state = tx.update(grads, state, params)
+            # Adam of a constant grad: |update| == current LR
+            lrs.append(float(jnp.abs(updates["w"][0])))
+        # steps 0-9 at base_lr, step >= 10 (= epoch 2) decayed by 0.1
+        np.testing.assert_allclose(lrs[0], cfg.train.base_lr, rtol=1e-4)
+        np.testing.assert_allclose(lrs[9], cfg.train.base_lr, rtol=1e-4)
+        np.testing.assert_allclose(lrs[10], cfg.train.base_lr * 0.1, rtol=1e-4)
+        np.testing.assert_allclose(lrs[11], cfg.train.base_lr * 0.1, rtol=1e-4)
+
     def test_validate_fn_glue(self, tmp_path):
         """Trainer.make_validate_fn runs the eval pipeline over a loader."""
         from whmr_tpu.utils.testing import make_example_train_batch

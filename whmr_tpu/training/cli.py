@@ -22,6 +22,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--num_epochs", type=int, default=None)
     p.add_argument("--steps_per_epoch", type=int, default=None)
+    p.add_argument("--save_every", type=int, default=None,
+                   help="also checkpoint every N batches (mid-epoch resume)")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--model_parallel", type=int, default=1)
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute")
@@ -54,16 +56,6 @@ def main(argv=None):
     name = args.name or time.strftime("%Y%m%d_%H%M%S")
     log_dir = os.path.join(args.log_dir, name)
 
-    trainer = Trainer(
-        cfg,
-        log_dir,
-        data_dir=args.data_dir,
-        model_parallel=args.model_parallel,
-        dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
-    )
-    if args.resume and trainer.resume():
-        print(f"resumed from step {int(trainer.state.step)} (epoch {trainer.epoch})")
-
     if not args.train_npz:
         raise SystemExit("--train_npz is required (reference-format label npz)")
     img_dirs = args.img_dir or [os.path.dirname(p) for p in args.train_npz]
@@ -72,6 +64,23 @@ def main(argv=None):
         for npz, img_dir in zip(args.train_npz, img_dirs)
     ]
     dataset = datasets[0] if len(datasets) == 1 else MixtureDataset(datasets)
+    steps_per_epoch = args.steps_per_epoch or max(
+        1, len(dataset) // cfg.train.batch_size
+    )
+
+    trainer = Trainer(
+        cfg,
+        log_dir,
+        data_dir=args.data_dir,
+        model_parallel=args.model_parallel,
+        dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+        steps_per_epoch=steps_per_epoch,
+    )
+    if args.resume and trainer.resume():
+        print(
+            f"resumed from step {int(trainer.state.step)} "
+            f"(epoch {trainer.epoch}, batch {trainer.batch_idx})"
+        )
 
     def loader_factory(epoch):
         loader = BatchLoader(dataset, cfg.train.batch_size)
@@ -82,6 +91,7 @@ def main(argv=None):
         loader_factory,
         num_epochs=args.num_epochs,
         steps_per_epoch=args.steps_per_epoch,
+        save_every=args.save_every,
     )
     print(f"done at step {int(trainer.state.step)}; logs in {log_dir}")
 

@@ -108,7 +108,11 @@ def render_gt_maps(
         iuv = iuv * valid[:, None, None, None]
     results["iuv_image_gt"] = iuv
     if with_depth:
-        inv_depth = jnp.where(out.mask, 1.0 / jnp.maximum(out.zbuf, 1e-6), 0.0)
+        # Inverse depth = 1/zbuf with background 0 (renderer.py:528-531);
+        # surfaces at/behind the camera (z <= znear) are culled to 0 like
+        # pytorch3d's znear clipping would.
+        near = out.mask & (out.zbuf > 1e-3)
+        inv_depth = jnp.where(near, 1.0 / jnp.maximum(out.zbuf, 1e-3), 0.0)
         if vitpose_slice:
             inv_depth = inv_depth[:, :, 16:-16]
         if valid is not None:

@@ -148,12 +148,17 @@ def depth_loss(
     has_depth: jnp.ndarray,
     point_regression_weight: float,
 ) -> jnp.ndarray:
-    """Smooth-L1 inverse-depth loss, sum/batch (trainer.py:303-318)."""
+    """Smooth-L1 inverse-depth loss over valid samples (trainer.py:301-318).
+
+    The reference sums over the valid samples' pixels and divides by the
+    FULL batch size (`batch_size` is captured before the valid_fit mask,
+    trainer.py:302,312) — replicated here with a masked sum.
+    """
     mask = has_depth.astype(jnp.float32)
-    denom = jnp.maximum(mask.sum(), 1.0)
     hub = optax.losses.huber_loss(pred_depth, gt_depth, delta=1.0)
     per = hub.reshape(hub.shape[0], -1).sum(axis=1)
-    return jnp.sum(per * mask) / denom * point_regression_weight * jnp.minimum(mask.sum(), 1.0)
+    batch = jnp.float32(pred_depth.shape[0])
+    return jnp.sum(per * mask) / batch * point_regression_weight * jnp.minimum(mask.sum(), 1.0)
 
 
 def whmr_loss(
@@ -164,6 +169,7 @@ def whmr_loss(
     gt_sub_vertices: jnp.ndarray,
     gt_temp_vertices: jnp.ndarray,
     uvia_gt: Optional[Dict[str, jnp.ndarray]] = None,
+    depth_gt: Optional[jnp.ndarray] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Full loss assembly over all MAF steps (trainer.py:466-609).
 
@@ -247,6 +253,14 @@ def whmr_loss(
         loss_dict["loss_V"] = lv
         loss_dict["loss_IndexUV"] = lidx * w.index_weights
         loss_dict["loss_segAnn"] = lann * w.part_weights
+
+    # Depth-map supervision (trainer.py:489-495): smooth-L1 on the predicted
+    # inverse-depth map vs the GT render, per dpth_out level.
+    if depth_gt is not None and preds.get("dpth_out"):
+        loss_dict["loss_Depth"] = depth_loss(
+            preds["dpth_out"][-1], depth_gt, batch["has_smpl"],
+            w.point_regression_weights,
+        )
 
     loss_dict["loss"] = sum(
         v for k, v in loss_dict.items() if k != "loss"

@@ -46,13 +46,24 @@ class TrainState(struct.PyTreeNode):
         )
 
 
-def make_optimizer(cfg: WHMRConfig) -> optax.GradientTransformation:
-    """Adam at BASE_LR with step-decay epochs (pymaf_config.yaml:1-7)."""
+def make_optimizer(
+    cfg: WHMRConfig, steps_per_epoch: int = 1
+) -> optax.GradientTransformation:
+    """Adam at BASE_LR with step-decay at epoch boundaries.
+
+    The reference decays the optimizer LR by `lr_gamma` when the epoch
+    counter crosses each entry of the decay list (core/trainer.py:330-338).
+    optax schedules are keyed by STEP count, so the epoch boundaries are
+    converted with `steps_per_epoch` (pass the per-epoch batch count; the
+    default 1 degenerates to treating the entries as step indices).
+    """
     if cfg.train.lr_decay_epochs:
-        # boundaries expressed in steps by the caller when used
         sched = optax.piecewise_constant_schedule(
             cfg.train.base_lr,
-            {e: cfg.train.lr_gamma for e in cfg.train.lr_decay_epochs},
+            {
+                int(e) * int(steps_per_epoch): cfg.train.lr_gamma
+                for e in cfg.train.lr_decay_epochs
+            },
         )
     else:
         sched = cfg.train.base_lr
@@ -65,6 +76,7 @@ def create_train_state(
     consts: BodyConsts,
     rng: jax.Array,
     example_args: Dict[str, jnp.ndarray],
+    steps_per_epoch: int = 1,
 ) -> TrainState:
     # Always initialize the COMPLETE parameter tree: the CamCalib branch
     # only traces when full_x is given, so init must include it or demo-time
@@ -89,7 +101,7 @@ def create_train_state(
     )(consts, example_args)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", FrozenDict())
-    tx = make_optimizer(cfg)
+    tx = make_optimizer(cfg, steps_per_epoch=steps_per_epoch)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
@@ -120,7 +132,9 @@ def train_step(
     gt_temp = jnp.einsum("ts,bsk->btk", consts.dmap1, gt_sub)
 
     uvia_gt = batch.get("uvia_gt")
-    if uvia_gt is None and render_consts is not None and cfg.pymaf.aux_supv_on:
+    depth_gt = batch.get("depth_gt")
+    want_render = cfg.pymaf.aux_supv_on or cfg.pymaf.depth_supv_on
+    if uvia_gt is None and render_consts is not None and want_render:
         # On-device GT IUV rendering (replaces the reference's separate
         # pytorch3d pass, trainer.py:428-464): fit the GT weak camera from
         # the 2D keypoints, rasterize the GT mesh, encode to one-hot maps.
@@ -149,7 +163,10 @@ def train_step(
             with_depth=cfg.pymaf.depth_supv_on,
             valid=batch["has_smpl"],
         )
-        uvia_gt = iuv_img2map(maps["iuv_image_gt"])
+        if cfg.pymaf.aux_supv_on:
+            uvia_gt = iuv_img2map(maps["iuv_image_gt"])
+        if cfg.pymaf.depth_supv_on:
+            depth_gt = maps["depth_image_gt"]
 
     def loss_fn(params):
         variables = {"params": params, "batch_stats": state.batch_stats}
@@ -167,7 +184,8 @@ def train_step(
             mutable=["batch_stats"],
         )
         losses = whmr_loss(
-            cfg, preds, batch, gt_vertices, gt_sub, gt_temp, uvia_gt=uvia_gt
+            cfg, preds, batch, gt_vertices, gt_sub, gt_temp,
+            uvia_gt=uvia_gt, depth_gt=depth_gt,
         )
         return losses["loss"], (losses, mutated["batch_stats"])
 

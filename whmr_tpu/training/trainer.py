@@ -69,13 +69,16 @@ class Trainer:
         aux_rendering: bool = True,
         dtype=jnp.float32,
         seed: int = 0,
+        steps_per_epoch: int = 1,
     ):
         self.cfg = cfg
         self.log_dir = log_dir
         assets = get_assets(data_dir)
         self.consts = body_consts_from_assets(assets)
         self.render_consts = (
-            build_render_consts(assets) if (aux_rendering and cfg.pymaf.aux_supv_on) else None
+            build_render_consts(assets)
+            if (aux_rendering and (cfg.pymaf.aux_supv_on or cfg.pymaf.depth_supv_on))
+            else None
         )
         self.model = WHMR(cfg, dtype=dtype)
         self.mesh = mesh if mesh is not None else make_mesh(model_parallel=model_parallel)
@@ -85,7 +88,8 @@ class Trainer:
             ("x" if k == "x" else k): jnp.asarray(v) for k, v in example.items()
         }
         self.state = create_train_state(
-            cfg, self.model, self.consts, jax.random.PRNGKey(seed), args
+            cfg, self.model, self.consts, jax.random.PRNGKey(seed), args,
+            steps_per_epoch=steps_per_epoch,
         )
         self.state = self.state.replace(
             params=shard_params(self.state.params, self.mesh),
@@ -104,6 +108,9 @@ class Trainer:
         with open(os.path.join(log_dir, "config.json"), "w") as f:
             json.dump(dataclasses.asdict(cfg), f, indent=2, default=str)
         self.epoch = 0
+        # Mid-epoch resume position (reference base_trainer.py:45-48,
+        # trainer.py:346: `checkpoint_batch_idx` skips already-seen batches).
+        self.batch_idx = 0
         self.rng = jax.random.PRNGKey(seed + 1)
 
     # -- checkpoint lifecycle (reference base_trainer.py:35-48) --------------
@@ -115,20 +122,33 @@ class Trainer:
                 "opt_state": self.state.opt_state,
                 "step": np.zeros((), np.int32),
                 "epoch": 0,
+                "batch_idx": 0,
             }
         )
         if payload is None:
             return False
+        # Restored arrays come back committed to one device; re-apply the
+        # same placements as __init__ (params/stats per the TP/replication
+        # rules, everything else replicated over the mesh) so the jitted
+        # step's input placements stay consistent.
+        replicated = jax.sharding.NamedSharding(
+            self.mesh, jax.sharding.PartitionSpec()
+        )
+
+        def rep(x):
+            return jax.device_put(x, replicated) if hasattr(x, "shape") else x
+
         self.state = self.state.replace(
-            params=payload["params"],
-            batch_stats=payload["batch_stats"],
-            opt_state=payload["opt_state"],
-            step=jnp.asarray(payload["step"]),
+            params=shard_params(payload["params"], self.mesh),
+            batch_stats=shard_params(payload["batch_stats"], self.mesh),
+            opt_state=jax.tree.map(rep, payload["opt_state"]),
+            step=rep(jnp.asarray(payload["step"])),
         )
         self.epoch = int(payload["epoch"])
+        self.batch_idx = int(payload.get("batch_idx", 0))
         return True
 
-    def save(self, metric: Optional[float] = None):
+    def save(self, metric: Optional[float] = None, batch_idx: int = 0):
         self.ckpt.save(
             int(self.state.step),
             {
@@ -137,6 +157,7 @@ class Trainer:
                 "opt_state": jax.device_get(self.state.opt_state),
                 "step": np.asarray(self.state.step),
                 "epoch": self.epoch,
+                "batch_idx": int(batch_idx),
             },
             metric=metric,
         )
@@ -147,25 +168,39 @@ class Trainer:
         loader: Iterable[Dict[str, np.ndarray]],
         log_every: int = 100,
         max_steps: Optional[int] = None,
+        start_batch: int = 0,
+        save_every: Optional[int] = None,
     ) -> Dict[str, float]:
         from whmr_tpu.data.loader import device_prefetch
 
         sharding = batch_sharding(self.mesh)
         last = {}
+        it = iter(loader)
+        if start_batch:
+            # Mid-epoch resume: fast-forward past already-trained batches
+            # (reference trainer.py:346 skip via checkpoint_batch_idx).
+            import itertools
+
+            it = itertools.islice(it, start_batch, None)
         # Keep 2 batches in flight on device: host augmentation overlaps
         # device compute (replaces DataLoader prefetch_factor, trainer.py:143).
-        for i, batch in enumerate(device_prefetch(iter(loader), size=2, sharding=sharding)):
+        for i, batch in enumerate(
+            device_prefetch(it, size=2, sharding=sharding), start=start_batch
+        ):
             if max_steps is not None and i >= max_steps:
                 break
             self.rng, step_rng = jax.random.split(self.rng)
             self.state, metrics = self.step_fn(
                 self.state, self.consts, batch, step_rng
             )
+            self.batch_idx = i + 1
             if (i + 1) % log_every == 0 or (
                 max_steps is not None and i == max_steps - 1
             ):
                 last = {k: float(v) for k, v in metrics.items()}
                 self.metrics.write(int(self.state.step), last)
+            if save_every and (i + 1) % save_every == 0:
+                self.save(batch_idx=i + 1)
         return last
 
     def make_validate_fn(self, val_loader_factory, gendered_smpl=None):
@@ -210,17 +245,26 @@ class Trainer:
         validate_fn=None,
         steps_per_epoch: Optional[int] = None,
         log_every: int = 100,
+        save_every: Optional[int] = None,
     ):
         """Full fit loop (reference trainer.py:638-665).
 
         loader_factory(epoch) -> iterable of host batches.
         validate_fn(state) -> dict with 'pa_mpjpe' for best-ckpt tracking.
+        save_every: also checkpoint mid-epoch every N batches (with the
+          batch_idx payload enabling mid-epoch resume).
         """
         num_epochs = num_epochs or self.cfg.train.num_epochs
+        resume_batch = self.batch_idx  # only the resumed (first) epoch skips
         for epoch in range(self.epoch, num_epochs):
             self.epoch = epoch
             loader = loader_factory(epoch)
-            last = self.train_epoch(loader, log_every=log_every, max_steps=steps_per_epoch)
+            start_batch, resume_batch = resume_batch, 0
+            last = self.train_epoch(
+                loader, log_every=log_every, max_steps=steps_per_epoch,
+                start_batch=start_batch, save_every=save_every,
+            )
+            self.batch_idx = 0
             metric = None
             if validate_fn is not None:
                 val = validate_fn(self.state)
