@@ -82,3 +82,102 @@ class TestPipeline:
         assert data["verts"].shape[0] == 1
         overlay = cv2.imread(str(out_dir / "im0_overlay.png"))
         assert overlay.shape[1] == 320 + 240 * 2  # image + two side panels
+
+
+def _three_person_image():
+    """Synthetic scene: dark bg + 3 bright person-shaped blobs."""
+    img = np.full((480, 640, 3), 30, np.uint8)
+    for cx, h in ((120, 260), (320, 300), (520, 220)):
+        w = int(h * 0.35)
+        y0 = 240 - h // 2
+        cv2.rectangle(img, (cx - w // 2, y0), (cx + w // 2, y0 + h), (200, 180, 160), -1)
+        cv2.circle(img, (cx, y0 - 5), w // 3, (210, 190, 170), -1)  # head
+    return img
+
+
+class TestDetectors:
+    def test_contour_detector_finds_three(self):
+        from whmr_tpu.inference.detector import ContourPersonDetector
+
+        dets = ContourPersonDetector()(_three_person_image())
+        assert len(dets) == 3
+        xs = sorted(d.cx for d in dets)
+        np.testing.assert_allclose(xs, [120, 320, 520], atol=15)
+        for d in dets:
+            assert 150 < d.size < 400
+
+    def test_contour_detector_inverted_contrast(self):
+        from whmr_tpu.inference.detector import ContourPersonDetector
+
+        img = 255 - _three_person_image()  # bright bg, dark subjects
+        assert len(ContourPersonDetector()(img)) == 3
+
+    def test_iuv_detector_interface(self, pipeline):
+        from whmr_tpu.inference.detector import IUVProposalDetector, build_detector
+
+        det = build_detector("iuv", pipeline=pipeline)
+        assert isinstance(det, IUVProposalDetector)
+        out = det(np.random.RandomState(0).randint(0, 255, (480, 640, 3), np.uint8))
+        assert isinstance(out, list)  # random init: any count, no crash
+        for d in out:
+            assert 0 <= d.cx <= 640 and 0 <= d.cy <= 480
+
+    def test_components_to_detections_scaling(self):
+        """Mask-space components map back to frame coordinates."""
+        from whmr_tpu.inference.detector import _components_to_detections
+
+        mask = np.zeros((96, 128), bool)
+        mask[20:60, 30:50] = True  # h=40, w=20 at center (40, 40)
+        dets = _components_to_detections(
+            mask, scale_x=5.0, scale_y=10.0, min_area_frac=0.001,
+            max_area_frac=0.9, aspect_range=(0.5, 8.0), max_people=4,
+        )
+        assert len(dets) == 1
+        d = dets[0]
+        np.testing.assert_allclose([d.cx, d.cy], [39.5 * 5, 39.5 * 10], atol=6)
+        np.testing.assert_allclose(d.size, 40 * 10 * 1.1, rtol=0.05)
+
+    def test_nms_merges_duplicates(self):
+        from whmr_tpu.inference.detector import _merge_overlapping
+
+        dets = [
+            Detection(100, 100, 200, 0.9),
+            Detection(104, 98, 195, 0.5),  # near-duplicate
+            Detection(400, 100, 200, 0.8),
+        ]
+        kept = _merge_overlapping(dets)
+        assert len(kept) == 2
+        assert kept[0].score == 0.9
+
+    def test_build_detector_factory(self):
+        from whmr_tpu.inference.detector import (
+            ContourPersonDetector,
+            build_detector,
+        )
+
+        assert isinstance(build_detector("contour"), ContourPersonDetector)
+        with pytest.raises(ValueError):
+            build_detector("file")  # needs bbox_file
+        with pytest.raises(ValueError):
+            build_detector("iuv")  # needs the pipeline
+
+
+class TestMultiPersonDemo:
+    def test_three_person_folder_run(self, pipeline, tmp_path):
+        """Raw multi-person image -> 3 pkl entries + 3-mesh overlay with NO
+        bbox file (the reference needs MPT YOLO here, tester.py:68-79)."""
+        from whmr_tpu.inference.detector import ContourPersonDetector
+
+        pipeline.detector = ContourPersonDetector()
+        img_dir = tmp_path / "imgs"
+        out_dir = tmp_path / "out"
+        img_dir.mkdir()
+        cv2.imwrite(str(img_dir / "three.png"), _three_person_image()[:, :, ::-1])
+        stats = pipeline.run_folder(str(img_dir), str(out_dir), render=True)
+        assert stats["people"] == 3
+        with open(out_dir / "three.pkl", "rb") as f:
+            data = pickle.load(f)
+        assert data["n_people"] == 3
+        assert data["verts"].shape == (3, 6890, 3)
+        assert data["detections"].shape == (3, 4)
+        assert os.path.exists(out_dir / "three_overlay.png")

@@ -1,0 +1,133 @@
+"""End-to-end `whmr-eval` CLI tests: checkpoint load, protocol flags,
+identity-camera guard, result-file dump, LSP parts mode."""
+
+import os
+
+import cv2
+import numpy as np
+import pytest
+
+from whmr_tpu.utils.testing import tiny_config
+
+
+@pytest.fixture(scope="module")
+def eval_setup(tmp_path_factory):
+    """Tmp checkpoint + small on-disk eval dataset (no cam_rotmat)."""
+    import jax
+    import jax.numpy as jnp
+
+    from whmr_tpu.data.assets import synthetic_smpl_assets
+    from whmr_tpu.models.regressor import body_consts_from_assets
+    from whmr_tpu.models.whmr import WHMR
+    from whmr_tpu.training.train_step import create_train_state
+    from whmr_tpu.utils.checkpoint import CheckpointManager
+    from whmr_tpu.utils.testing import make_example_inputs
+
+    root = tmp_path_factory.mktemp("evalcli")
+    cfg = tiny_config()
+    consts = body_consts_from_assets(synthetic_smpl_assets())
+    model = WHMR(cfg)
+    inputs = make_example_inputs(cfg, 2)
+    state = create_train_state(
+        cfg, model, consts, jax.random.PRNGKey(0),
+        {k: jnp.asarray(v) for k, v in inputs.items()},
+    )
+    ckpt_dir = root / "ckpt"
+    CheckpointManager(str(ckpt_dir)).save(
+        1,
+        {
+            "params": jax.device_get(state.params),
+            "batch_stats": jax.device_get(state.batch_stats),
+            "opt_state": jax.device_get(state.opt_state),
+            "step": np.ones((), np.int32),
+            "epoch": 0,
+            "batch_idx": 0,
+        },
+    )
+
+    img_dir = root / "images"
+    img_dir.mkdir()
+    parts_dir = root / "parts"
+    parts_dir.mkdir()
+    rng = np.random.RandomState(0)
+    n = 4
+    names = []
+    for i in range(n):
+        img = rng.randint(0, 255, (320, 320, 3), np.uint8)
+        name = f"e_{i:02d}.png"
+        cv2.imwrite(str(img_dir / name), img)
+        # GT part map: a blob of parts 1..6 in the middle
+        part = np.zeros((320, 320), np.uint8)
+        part[100:220, 100:220] = rng.randint(1, 7, (120, 120))
+        cv2.imwrite(str(parts_dir / f"e_{i:02d}.png"), part)
+        names.append(name)
+    np.savez(
+        root / "labels.npz",
+        imgname=np.array(names),
+        center=np.full((n, 2), 160, np.float32),
+        scale=np.full((n,), 1.0, np.float32),
+        pose=(rng.randn(n, 72) * 0.2).astype(np.float32),
+        shape=(rng.randn(n, 10) * 0.3).astype(np.float32),
+        has_smpl=np.ones(n, np.float32),
+    )
+    return {
+        "root": root, "ckpt": str(ckpt_dir), "npz": str(root / "labels.npz"),
+        "img_dir": str(img_dir), "parts_dir": str(parts_dir),
+    }
+
+
+class TestEvalCLI:
+    def test_identity_cam_guard(self, eval_setup):
+        """Labels without cam_rotmat must abort unless --allow_identity_cam."""
+        from whmr_tpu.inference import eval_cli
+
+        cfg_args = [
+            "--checkpoint", eval_setup["ckpt"],
+            "--dataset_npz", eval_setup["npz"],
+            "--img_dir", eval_setup["img_dir"],
+            "--batch_size", "2",
+        ]
+        with pytest.raises(SystemExit, match="cam_rotmat"):
+            eval_cli.main(cfg_args + self._tiny_misc())
+
+    def test_full_run_with_result_file(self, eval_setup, tmp_path, capsys):
+        from whmr_tpu.inference import eval_cli
+
+        out = str(tmp_path / "res.npz")
+        eval_cli.main([
+            "--checkpoint", eval_setup["ckpt"],
+            "--dataset_npz", eval_setup["npz"],
+            "--img_dir", eval_setup["img_dir"],
+            "--batch_size", "2", "--allow_identity_cam",
+            "--result_file", out,
+        ] + self._tiny_misc())
+        captured = capsys.readouterr().out
+        assert "Final Results" in captured
+        dump = np.load(out)
+        assert dump["pred"].shape == (4, 14, 3)
+
+    def test_parts_mode(self, eval_setup, capsys):
+        from whmr_tpu.inference import eval_cli
+
+        eval_cli.main([
+            "--checkpoint", eval_setup["ckpt"],
+            "--dataset_npz", eval_setup["npz"],
+            "--img_dir", eval_setup["img_dir"],
+            "--batch_size", "2", "--eval_parts",
+            "--parts_dir", eval_setup["parts_dir"],
+        ] + self._tiny_misc())
+        captured = capsys.readouterr().out
+        assert "Mask Accuracy" in captured
+        assert "Parts Accuracy" in captured
+
+    @staticmethod
+    def _tiny_misc():
+        """CLI --misc overrides reproducing tiny_config (checkpoint shapes
+        must match the model built by the CLI)."""
+        return [
+            "--misc",
+            "vit.embed_dim", "64", "vit.depth", "2", "vit.num_heads", "2",
+            "vit.drop_path_rate", "0.0",
+            "pymaf.mlp_dim", "32,16,8,4",
+            "deconv.num_filters", "32,32,32",
+        ]

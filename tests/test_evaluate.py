@@ -65,5 +65,65 @@ class TestEvaluation:
         step = make_eval_step(cfg, model)
         batch = make_eval_batch(cfg, 4)
         batch["valid"] = jnp.asarray([1.0, 1.0, 0.0, 0.0])
-        _, _, _, n = step(variables, consts, batch)
+        (_, _, _, n), _ = step(variables, consts, batch)
         assert float(n) == 2.0
+
+    def test_j17_protocol_and_result_file(self, tmp_path):
+        """mpi-inf-3dhp J17 mapper + --result_file array dump
+        (reference eval.py:150-151, 312-319)."""
+        cfg = tiny_config()
+        consts = body_consts_from_assets(synthetic_smpl_assets())
+        model = WHMR(cfg)
+        inputs = make_example_inputs(cfg, 4)
+        args = dict(
+            x=jnp.asarray(inputs["x"]), center=jnp.asarray(inputs["center"]),
+            scale=jnp.asarray(inputs["scale"]), bbox_height=jnp.asarray(inputs["bbox_height"]),
+            orig_shape=jnp.asarray(inputs["orig_shape"]), bbox_info=jnp.asarray(inputs["bbox_info"]),
+        )
+        state = create_train_state(cfg, model, consts, jax.random.PRNGKey(0), args)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        out = str(tmp_path / "res.npz")
+        result = run_evaluation(
+            cfg, model, variables, consts, [make_eval_batch(cfg, 4)],
+            log_every=0, joint_mapper="j17", result_file=out,
+        )
+        assert result["count"] == 4
+        dump = np.load(out)
+        assert dump["pred"].shape == (4, 17, 3)
+        assert dump["pred_pa"].shape == (4, 17, 3)
+        assert dump["gt"].shape == (4, 17, 3)
+        assert dump["pred_joints"].shape == (4, 17, 3)
+        assert dump["pose"].shape == (4, 72)
+        assert dump["betas"].shape == (4, 10)
+        assert dump["camera"].shape == (4, 3)
+
+    def test_gendered_smpl_changes_gt(self):
+        """Gendered GT vertices flow through the metric (3DPW protocol,
+        trainer.py:784-798)."""
+        cfg = tiny_config()
+        assets = synthetic_smpl_assets()
+        consts = body_consts_from_assets(assets)
+        from whmr_tpu.models.smpl import smpl_params_from_assets
+
+        # fake 'gendered' models: scaled templates so metrics must differ
+        male = smpl_params_from_assets(synthetic_smpl_assets(seed=1))
+        female = smpl_params_from_assets(synthetic_smpl_assets(seed=2))
+        model = WHMR(cfg)
+        inputs = make_example_inputs(cfg, 4)
+        args = dict(
+            x=jnp.asarray(inputs["x"]), center=jnp.asarray(inputs["center"]),
+            scale=jnp.asarray(inputs["scale"]), bbox_height=jnp.asarray(inputs["bbox_height"]),
+            orig_shape=jnp.asarray(inputs["orig_shape"]), bbox_info=jnp.asarray(inputs["bbox_info"]),
+        )
+        state = create_train_state(cfg, model, consts, jax.random.PRNGKey(0), args)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        batch = make_eval_batch(cfg, 4)
+        batch["gender"] = jnp.asarray([0, 1, -1, 0], jnp.int32)
+        r_neutral = run_evaluation(
+            cfg, model, variables, consts, [batch], log_every=0
+        )
+        r_gendered = run_evaluation(
+            cfg, model, variables, consts, [batch], log_every=0,
+            gendered_smpl={"male": male, "female": female},
+        )
+        assert r_neutral["mpjpe"] != r_gendered["mpjpe"]

@@ -61,3 +61,75 @@ class TestBodyNetwork:
         a = net.apply(params, body_feat, grid_feat, temp_verts, adj, meta_masks=full_mask, train=True)
         b = net.apply(params, body_feat, grid_feat, temp_verts, adj, meta_masks=zero_mask, train=True)
         assert np.abs(np.asarray(a["verts"]) - np.asarray(b["verts"])).max() > 1e-5
+
+
+class TestGraphormerIntegration:
+    """grph_on wires the refiner into the WHMR graph (VERDICT item 4:
+    reference slot whmr.py:613-626 / e2e_body_network.py:44-150)."""
+
+    def _setup(self, train_batch=False):
+        from dataclasses import replace
+
+        import jax
+        import jax.numpy as jnp
+
+        from whmr_tpu.data.assets import synthetic_smpl_assets
+        from whmr_tpu.models.regressor import body_consts_from_assets
+        from whmr_tpu.models.whmr import WHMR
+        from whmr_tpu.training.train_step import create_train_state
+        from whmr_tpu.utils.testing import make_example_inputs, tiny_config
+
+        cfg = tiny_config()
+        cfg = replace(cfg, pymaf=replace(cfg.pymaf, grph_on=True))
+        consts = body_consts_from_assets(synthetic_smpl_assets())
+        model = WHMR(cfg)
+        inputs = make_example_inputs(cfg, 4)
+        args = {k: jnp.asarray(v) for k, v in inputs.items()}
+        state = create_train_state(cfg, model, consts, jax.random.PRNGKey(0), args)
+        return cfg, model, state, consts, args
+
+    def test_forward_appends_refined_stage(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        cfg, model, state, consts, args = self._setup()
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        out = jax.jit(
+            lambda v, c, a: model.apply(v, c, train=False, **a)
+        )(variables, consts, args)
+        # init + 3 MAF steps + refined stage
+        assert len(out["smpl_out"]) == 5
+        refined = out["refined"]
+        assert refined["temp_verts"].shape == (4, 431, 3)
+        assert refined["sub_verts"].shape == (4, 1723, 3)
+        assert refined["verts"].shape == (4, 6890, 3)
+        # the refiner actually changed the mesh vs the parametric step
+        parametric = out["smpl_out"][3]
+        assert float(jnp.abs(refined["verts"] - parametric["verts"]).max()) > 0
+        assert np.isfinite(np.asarray(refined["verts"])).all()
+        assert refined["kp_2d"].shape == (4, 49, 2)
+        assert refined["kp_2d_w"].shape == (4, 49, 2)
+
+    def test_train_step_grads_reach_graphormer(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from whmr_tpu.training.train_step import make_jitted_train_step
+        from whmr_tpu.utils.testing import make_example_train_batch
+
+        cfg, model, state, consts, _ = self._setup()
+        batch = {
+            k: jnp.asarray(v) for k, v in make_example_train_batch(cfg, 4).items()
+        }
+        step_fn = make_jitted_train_step(cfg, model, donate=False)
+        new_state, metrics = step_fn(state, consts, batch, jax.random.PRNGKey(1))
+        assert np.isfinite(float(metrics["loss"]))
+        # vertex losses exist for the appended stage (l_i=4 > 2)
+        assert "loss_shape_4" in metrics
+        moved = jax.tree.map(
+            lambda a, b: float(jnp.abs(a - b).max()),
+            state.params["transformer0"], new_state.params["transformer0"],
+        )
+        assert max(jax.tree.leaves(moved)) > 0

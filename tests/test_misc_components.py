@@ -63,20 +63,34 @@ class TestAgoraExport:
         from whmr_tpu.inference.agora import export_person
 
         path = export_person(
-            str(tmp_path), "image_001.png", 0,
+            str(tmp_path), "image_001.png", 1,
             verts=rng.randn(6890, 3).astype(np.float32) * 0.3,
-            joints24=rng.randn(24, 3).astype(np.float32) * 0.3,
-            joints49=rng.randn(49, 3).astype(np.float32) * 0.3,
+            smpl_joints3d=rng.randn(24, 3).astype(np.float32) * 0.3,
             pred_cam=np.array([1.1, 0.05, -0.1], np.float32),
             bbox_height=250.0,
             bbox_center=np.array([640.0, 360.0], np.float32),
             focal_length=1450.0,
         )
-        assert os.path.basename(path) == "image_001_personId_0.pkl"
+        assert os.path.basename(path) == "image_001_personId_1.pkl"
         with open(path, "rb") as f:
             data = pickle.load(f)
-        assert data["joints"].shape == (49, 2)
+        # payload parity with val_results.py:144-155
+        assert data["joints"].shape == (24, 2)
         assert data["verts"].shape == (6890, 3)
         assert data["allSmplJoints3d"].shape == (24, 3)
         # joints are in the upscaled 3840x2160 frame
         assert np.abs(data["joints"]).max() < 3840 * 2
+
+    def test_val_mode_filename_munge(self):
+        """val-mode drops the 3rd-from-last underscore part
+        (val_results.py:104-108)."""
+        from whmr_tpu.inference.agora import result_filename
+
+        assert (
+            result_filename("ag_cam00_00001_1280x720.png", 2, mode="val")
+            == "ag_cam00_00001_personId_2.pkl"
+        )
+        assert (
+            result_filename("ag_cam00_00001_1280x720.png", 2, mode="test")
+            == "ag_cam00_00001_1280x720_personId_2.pkl"
+        )

@@ -50,6 +50,11 @@ class PyMAFConfig:
     aux_supv_on: bool = True
     depth_supv_on: bool = False
     focal_supv_on: bool = False
+    # Graphormer non-parametric vertex refiner. The reference architecture
+    # slot exists but ships dormant (whmr.py:363 builds it for
+    # range(3, N_ITER) under N_ITER=3; invocation commented at :613-626);
+    # here it is a first-class stage appended after the MAF loop.
+    grph_on: bool = False
     dp_heatmap_size: Tuple[int, int] = (128, 128)
     # Number of surface markers pooled per MAF step (reference whmr.py:100,336:
     # 67 SSM markers from data/smpl/smpl_ssm.npy).
@@ -187,6 +192,12 @@ def _replace_path(obj: Any, parts: list, value: Any) -> Any:
                 value = int(value)
             elif isinstance(current, float):
                 value = float(value)
+            elif isinstance(current, tuple):
+                # comma/space-separated tuple override, e.g.
+                # --misc pymaf.mlp_dim 256,128,64,32
+                elem = type(current[0]) if current else float
+                items = value.replace("(", "").replace(")", "").replace(",", " ").split()
+                value = tuple(elem(v) for v in items)
         del typ
         return replace(obj, **{parts[0]: value})
     child = getattr(obj, parts[0])

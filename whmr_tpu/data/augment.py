@@ -83,18 +83,20 @@ def get_crop_shape(center, scale, res, rot=0):
     return ul, br
 
 
-def crop_image(img: np.ndarray, center, scale, res, rot=0) -> np.ndarray:
+def crop_image(img: np.ndarray, center, scale, res, rot=0, nearest=False) -> np.ndarray:
     """Affine crop to res=(W, H) with optional in-plane rotation.
 
     Geometry matches reference imutils.crop (:54-90); implemented as one
-    warpAffine of the composed transform.
+    warpAffine of the composed transform. `nearest=True` for label images
+    (part-segmentation maps) where interpolation must not blend classes.
     """
     t = get_transform(center, scale, res, rot=rot)
     # The reference's pixel convention: output pixel (x, y) samples input at
     # inv(t) @ (x, y). warpAffine expects the forward map matrix.
     m = t[:2, :]
     return cv2.warpAffine(
-        img, m, (int(res[0]), int(res[1])), flags=cv2.INTER_LINEAR,
+        img, m, (int(res[0]), int(res[1])),
+        flags=cv2.INTER_NEAREST if nearest else cv2.INTER_LINEAR,
         borderMode=cv2.BORDER_CONSTANT, borderValue=0,
     )
 

@@ -43,6 +43,8 @@ class BatchLoader:
     def set_epoch(self, epoch: int):
         """Reshuffle per epoch (reference sampler.set_epoch, trainer.py:324)."""
         self.epoch = epoch
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)
 
     def _epoch_indices(self) -> np.ndarray:
         n = len(self.dataset)
@@ -85,9 +87,12 @@ class BatchLoader:
         try:
             buffer: Dict[int, Dict] = {}
             next_pos = 0
+            total = len(work)
             for _ in range(n_batches):
+                # final batch may be partial when drop_last=False
+                want = min(self.batch_size, total - next_pos)
                 batch_samples = []
-                while len(batch_samples) < self.batch_size:
+                while len(batch_samples) < want:
                     while next_pos not in buffer:
                         pos, sample = sample_q.get()
                         if isinstance(sample, Exception):

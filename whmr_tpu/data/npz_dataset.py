@@ -12,12 +12,30 @@ weighted sampler.
 
 from __future__ import annotations
 
+import logging
 import os
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence
 
 import cv2
 import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+def _derived_rng(seed: int, epoch: int, index: int) -> np.random.RandomState:
+    """Deterministic per-(seed, epoch, index) generator.
+
+    The reference mutates one shared `np.random` stream from DataLoader
+    workers, so its augmentation draws are neither reproducible nor
+    well-defined under threading; deriving an independent stream per sample
+    is both (and is what the loader's worker THREADS require — RandomState
+    is not thread-safe to share).
+    """
+    mix = np.uint32(
+        (seed * 1_000_003 + epoch * 8_191 + index * 2_654_435_761) % (2**31 - 1)
+    )
+    return np.random.RandomState(mix)
 
 from whmr_tpu.config import WHMRConfig
 from whmr_tpu.data import augment as A
@@ -65,7 +83,8 @@ class NpzDataset:
         self.noise_factor = noise_factor
         self.rot_factor = rot_factor
         self.scale_factor = scale_factor
-        self.rng = np.random.RandomState(seed)
+        self.seed = seed
+        self.epoch = 0
 
         data = np.load(npz_path, allow_pickle=True)
         self.imgname = data["imgname"]
@@ -111,15 +130,35 @@ class NpzDataset:
     def __len__(self):
         return len(self.imgname)
 
+    def set_epoch(self, epoch: int):
+        """Advance the per-sample rng streams (fresh draws each epoch)."""
+        self.epoch = int(epoch)
+
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        # Unreadable image -> warn and substitute a neighboring sample so a
+        # single corrupt file cannot kill the epoch (the reference only logs
+        # and then crashes, base_dataset.py:270-277 — strictly worse).
+        last_err: Optional[Exception] = None
+        for attempt in range(8):
+            i = (index + attempt) % len(self)
+            try:
+                return self._load_item(i)
+            except FileNotFoundError as e:
+                logger.warning("fail while loading %s; trying next sample", e)
+                last_err = e
+        raise last_err  # 8 consecutive unreadable files: give up loudly
+
+    def _load_item(self, index: int) -> Dict[str, np.ndarray]:
         cfg = self.cfg
         res = cfg.img_res  # (W, H)
         scale = float(self.scale[index])
         center = self.center[index].copy()
+        scale_orig, center_orig = scale, center.copy()
+        rng = _derived_rng(self.seed, self.epoch, index)
 
         if self.use_augmentation:
             p = A.AugmentParams.sample(
-                self.rng, self.noise_factor, self.rot_factor, self.scale_factor
+                rng, self.noise_factor, self.rot_factor, self.scale_factor
             )
         else:
             p = A.AugmentParams(0, np.ones(3), 0.0, 1.0)
@@ -132,14 +171,19 @@ class NpzDataset:
         img = img[:, :, ::-1].astype(np.float32)
         orig_shape = np.array(img.shape[:2], np.float32)
 
-        # rgb processing (base_dataset.py:184-208)
-        crop = A.crop_image(img, center, scale, res, rot=p.rot)
+        # rgb processing (base_dataset.py:184-208); a failed augmented crop
+        # retries with the original bbox (base_dataset.py:281-287).
+        try:
+            crop = A.crop_image(img, center, scale, res, rot=p.rot)
+        except Exception:  # noqa: BLE001 — reference catches bare `except`
+            center, scale = center_orig, scale_orig
+            crop = A.crop_image(img, center, scale, res, rot=p.rot)
         if p.flip:
             crop = np.fliplr(crop)
         if self.occluders is not None and self.is_train:
-            crop = A.occlude_with_objects(crop.astype(np.uint8), self.occluders, self.rng).astype(np.float32)
+            crop = A.occlude_with_objects(crop.astype(np.uint8), self.occluders, rng).astype(np.float32)
         if self.is_train:
-            crop = A.color_jitter(crop, self.rng)
+            crop = A.color_jitter(crop, rng)
         crop = A.apply_channel_noise(crop, p.pn) / 255.0
         img_norm = A.normalize_image(crop.astype(np.float32))
         if cfg.pymaf.backbone == "vitpose":
@@ -185,9 +229,9 @@ class NpzDataset:
         # 431-vertex BERT-style visibility mask (base_dataset.py:345-355).
         mvm_mask = np.ones((431, 1), np.float32)
         if self.is_train:
-            pb = self.rng.random_sample()
+            pb = rng.random_sample()
             masked = int(pb * 0.3 * 431)
-            idx = self.rng.choice(431, replace=False, size=masked)
+            idx = rng.choice(431, replace=False, size=masked)
             mvm_mask[idx] = 0.0
 
         extras = {}
@@ -242,12 +286,19 @@ class MixtureDataset:
         )
         self.weights = w / w.sum()
         self.length = length
-        self.rng = np.random.RandomState(seed)
+        self.seed = seed
+        self.epoch = 0
         # Cumulative partition bounds, as in mixed_dataset.py:66-89.
         self.partition = np.cumsum(self.weights)
 
     def __len__(self):
         return self.length
+
+    def set_epoch(self, epoch: int):
+        self.epoch = int(epoch)
+        for d in self.datasets:
+            if hasattr(d, "set_epoch"):
+                d.set_epoch(epoch)
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
         # index -> dataset via the ratio partition (mixed_dataset.py:116-120)
@@ -255,4 +306,5 @@ class MixtureDataset:
         d_idx = int(np.searchsorted(self.partition, frac, side="right"))
         d_idx = min(d_idx, len(self.datasets) - 1)
         ds = self.datasets[d_idx]
-        return ds[self.rng.randint(len(ds))]
+        rng = _derived_rng(self.seed, self.epoch, index)
+        return ds[rng.randint(len(ds))]

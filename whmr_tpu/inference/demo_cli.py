@@ -11,7 +11,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output_folder", default="output")
     p.add_argument("--checkpoint", default=None, help="orbax checkpoint dir (random init if omitted)")
     p.add_argument("--data_dir", default=None, help="asset dir")
-    p.add_argument("--detector", default="full", choices=["full", "file"])
+    p.add_argument(
+        "--detector", default="iuv", choices=["full", "file", "iuv", "contour"],
+        help="person detector: iuv (model's dense-IUV head, default — uses "
+             "the loaded checkpoint), contour (foreground blobs), full "
+             "(whole image), file (--bbox_file json)",
+    )
     p.add_argument("--bbox_file", default=None, help="json bboxes for --detector file")
     p.add_argument("--max_people", type=int, default=8)
     p.add_argument("--no_render", action="store_true")
@@ -35,11 +40,8 @@ def main(argv=None):
 
     from whmr_tpu.config import WHMRConfig
     from whmr_tpu.data.assets import get_assets
-    from whmr_tpu.inference.pipeline import (
-        BboxFileDetector,
-        DemoPipeline,
-        FullImageDetector,
-    )
+    from whmr_tpu.inference.detector import build_detector
+    from whmr_tpu.inference.pipeline import DemoPipeline
     from whmr_tpu.models.regressor import body_consts_from_assets
     from whmr_tpu.models.whmr import WHMR
     from whmr_tpu.training.train_step import create_train_state
@@ -73,14 +75,12 @@ def main(argv=None):
             raise SystemExit(f"no checkpoint in {args.checkpoint}")
         variables = {"params": payload["params"], "batch_stats": payload["batch_stats"]}
 
-    detector = (
-        BboxFileDetector(args.bbox_file) if args.detector == "file" else FullImageDetector()
-    )
     pipeline = DemoPipeline(
         cfg, variables, assets,
-        max_people=args.max_people, detector=detector,
+        max_people=args.max_people,
         use_camcalib=not args.no_camcalib,
     )
+    pipeline.detector = build_detector(args.detector, args.bbox_file, pipeline=pipeline)
     stats = pipeline.run_folder(
         args.image_folder, args.output_folder,
         render=not args.no_render, save_obj_files=args.save_obj,

@@ -1,0 +1,207 @@
+"""In-repo multi-person detectors for the demo pipeline.
+
+The reference demo's first stage is an external MPT YOLOv3 detector
+(`/root/reference/demo/tester.py:25,68-79` — a separate GPU model shipped as
+a pip package with downloaded weights). This environment ships no pretrained
+detector (no torchvision, no OpenCV HOG/cascades), so the framework provides
+two self-contained backends with the same role and interface, letting
+`whmr-demo` run on raw images without a bbox file:
+
+- `IUVProposalDetector`: W-HMR's own dense-IUV auxiliary head run over the
+  full frame. The dp_head's part-index maps segment person foreground
+  (DensePose semantics), whose connected components become person boxes —
+  a detector that reuses the checkpoint the user already loads, runs
+  inside one jitted TPU program, and needs no extra weights.
+- `ContourPersonDetector`: foreground-blob detection (Otsu threshold +
+  connected components with person-ish aspect/area gates). For synthetic,
+  studio, or high-contrast footage, and for deterministic tests.
+
+Any callable `(image[, name]) -> List[Detection]` plugs into DemoPipeline;
+these join FullImageDetector / BboxFileDetector (pipeline.py:44-69).
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import cv2
+import numpy as np
+
+from whmr_tpu.inference.pipeline import Detection
+
+# MPT pads detections with a context margin before cropping
+# (multi-person-tracker's bbox scale); mirrored by both detectors.
+BOX_MARGIN = 1.1
+
+
+def _merge_overlapping(dets: List[Detection], iou_thresh: float = 0.55) -> List[Detection]:
+    """Greedy square-box NMS keeping the highest-scored of overlapping pairs."""
+    dets = sorted(dets, key=lambda d: -d.score)
+    kept: List[Detection] = []
+    for d in dets:
+        ok = True
+        for k in kept:
+            half_d, half_k = d.size / 2, k.size / 2
+            x_ov = max(0.0, min(d.cx + half_d, k.cx + half_k) - max(d.cx - half_d, k.cx - half_k))
+            y_ov = max(0.0, min(d.cy + half_d, k.cy + half_k) - max(d.cy - half_d, k.cy - half_k))
+            inter = x_ov * y_ov
+            union = d.size**2 + k.size**2 - inter
+            if union > 0 and inter / union > iou_thresh:
+                ok = False
+                break
+        if ok:
+            kept.append(d)
+    return kept
+
+
+def _components_to_detections(
+    mask: np.ndarray,
+    scale_x: float,
+    scale_y: float,
+    min_area_frac: float,
+    max_area_frac: float,
+    aspect_range,
+    max_people: int,
+) -> List[Detection]:
+    """Connected components of a binary mask -> person Detections in the
+    original frame (mask coords x scale)."""
+    n, _, stats, centroids = cv2.connectedComponentsWithStats(mask.astype(np.uint8))
+    area_img = float(mask.shape[0] * mask.shape[1])
+    dets: List[Detection] = []
+    for i in range(1, n):  # 0 = background
+        x, y, bw, bh, area = stats[i]
+        if not (min_area_frac <= area / area_img <= max_area_frac):
+            continue
+        aspect = bh / max(bw, 1)
+        if not (aspect_range[0] <= aspect <= aspect_range[1]):
+            continue
+        dets.append(
+            Detection(
+                cx=float(centroids[i][0]) * scale_x,
+                cy=float(centroids[i][1]) * scale_y,
+                size=float(max(bw * scale_x, bh * scale_y)) * BOX_MARGIN,
+                score=float(area / area_img),
+            )
+        )
+    dets = _merge_overlapping(dets)
+    dets.sort(key=lambda d: -d.score)
+    return dets[:max_people]
+
+
+class IUVProposalDetector:
+    """Person proposals from W-HMR's own dense-IUV head on the full frame.
+
+    One jitted pass: full image -> backbone -> deconv pyramid -> dp_head ->
+    part-index foreground mask; components -> boxes on the host. Requires a
+    trained/converted checkpoint (the same one the demo loads anyway) and a
+    config with `pymaf.aux_supv_on` so dp_head exists.
+    """
+
+    def __init__(
+        self,
+        cfg,
+        model,
+        variables,
+        min_area_frac: float = 0.004,
+        max_area_frac: float = 0.9,
+        aspect_range=(0.5, 8.0),
+        max_people: int = 16,
+    ):
+        import jax
+        import jax.numpy as jnp
+
+        from whmr_tpu.config import IMG_NORM_MEAN, IMG_NORM_STD
+
+        self.cfg = cfg
+        self.min_area_frac = min_area_frac
+        self.max_area_frac = max_area_frac
+        self.aspect_range = aspect_range
+        self.max_people = max_people
+        self._jnp = jnp
+
+        def fg_mask(variables, img_u8):
+            mean = jnp.asarray(IMG_NORM_MEAN, jnp.float32)
+            std = jnp.asarray(IMG_NORM_STD, jnp.float32)
+            x = (img_u8.astype(jnp.float32) / 255.0 - mean) / std
+            logits = model.apply(
+                variables, x[None], train=False, method=model.iuv_logits
+            )[0]
+            # DensePose ann-index channel 0 = background
+            return jnp.argmax(logits, axis=-1) > 0
+
+        self._fg = jax.jit(fg_mask)
+        self._variables = variables
+
+    def __call__(self, image: np.ndarray, name: str = "") -> List[Detection]:
+        h, w = image.shape[:2]
+        ch, cw = self.cfg.crop_hw
+        resized = cv2.resize(image.astype(np.uint8), (cw, ch))
+        mask = np.asarray(self._fg(self._variables, self._jnp.asarray(resized)))
+        mask = cv2.morphologyEx(
+            mask.astype(np.uint8) * 255, cv2.MORPH_CLOSE, np.ones((5, 5), np.uint8)
+        )
+        mh, mw = mask.shape
+        return _components_to_detections(
+            mask > 0, w / mw, h / mh,
+            self.min_area_frac, self.max_area_frac,
+            self.aspect_range, self.max_people,
+        )
+
+
+class ContourPersonDetector:
+    """Foreground-blob detector: Otsu threshold -> connected components.
+
+    Assumes subjects contrast with the background (synthetic scenes, studio
+    shots, chroma-key footage). Components are gated by area fraction and a
+    loose person aspect ratio.
+    """
+
+    def __init__(
+        self,
+        min_area_frac: float = 0.003,
+        max_area_frac: float = 0.7,
+        aspect_range=(0.6, 6.0),  # height / width
+        max_people: int = 16,
+    ):
+        self.min_area_frac = min_area_frac
+        self.max_area_frac = max_area_frac
+        self.aspect_range = aspect_range
+        self.max_people = max_people
+
+    def __call__(self, image: np.ndarray, name: str = "") -> List[Detection]:
+        gray = cv2.cvtColor(image.astype(np.uint8), cv2.COLOR_RGB2GRAY)
+        blur = cv2.GaussianBlur(gray, (5, 5), 0)
+        _, mask = cv2.threshold(blur, 0, 255, cv2.THRESH_BINARY + cv2.THRESH_OTSU)
+        # foreground = minority class (subjects occupy less area than bg)
+        if mask.mean() > 127:
+            mask = 255 - mask
+        mask = cv2.morphologyEx(
+            mask, cv2.MORPH_CLOSE, np.ones((7, 7), np.uint8)
+        )
+        return _components_to_detections(
+            mask > 0, 1.0, 1.0,
+            self.min_area_frac, self.max_area_frac,
+            self.aspect_range, self.max_people,
+        )
+
+
+def build_detector(kind: str, bbox_file: str = None, pipeline=None):
+    """Factory shared by the demo CLI (`--detector`). `pipeline` (a
+    DemoPipeline) is required for the model-based 'iuv' backend."""
+    from whmr_tpu.inference.pipeline import BboxFileDetector, FullImageDetector
+
+    if kind == "full":
+        return FullImageDetector()
+    if kind == "file":
+        if not bbox_file:
+            raise ValueError("--detector file requires --bbox_file")
+        return BboxFileDetector(bbox_file)
+    if kind == "iuv":
+        if pipeline is None:
+            raise ValueError("--detector iuv needs the built pipeline")
+        if not pipeline.cfg.pymaf.aux_supv_on:
+            raise ValueError("--detector iuv requires pymaf.aux_supv_on")
+        return IUVProposalDetector(pipeline.cfg, pipeline.model, pipeline.variables)
+    if kind == "contour":
+        return ContourPersonDetector()
+    raise ValueError(f"unknown detector '{kind}'")

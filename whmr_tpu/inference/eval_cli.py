@@ -1,8 +1,26 @@
-"""`whmr-eval` CLI (reference evaluate/eval.py:44-62, 364-385 surface)."""
+"""`whmr-eval` CLI (reference evaluate/eval.py:44-62, 364-385 surface).
+
+Protocol variants carried over from the reference:
+- `--dataset mpi-inf-3dhp` switches the joint mapper to J17
+  (eval.py:150-151); every other pose dataset evaluates J14.
+- `--gendered` builds male/female SMPL GT for 3DPW-style protocols
+  (core/trainer.py:784-798); requires SMPL_MALE/FEMALE.pkl in --data_dir.
+- `--result_file out.npz` dumps per-sample predictions (eval.py:312-319).
+- `--eval_parts` runs the LSP mask/part-segmentation protocol
+  (eval.py:145-148) against GT part maps on disk, scored with
+  inference/part_segm.py instead of the neural_renderer CUDA path.
+- labels without `cam_rotmat` abort unless `--allow_identity_cam`: the
+  reference eval REQUIRES the GT camera rotation (eval.py:157-163), and a
+  silent identity fallback produces quietly-wrong world-frame metrics.
+"""
 
 from __future__ import annotations
 
 import argparse
+import os
+
+# Datasets whose reference protocol uses the 17-joint mapper (eval.py:150-151).
+J17_DATASETS = ("mpi-inf-3dhp",)
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -10,43 +28,44 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint", required=True, help="orbax checkpoint dir")
     p.add_argument("--dataset_npz", required=True, help="eval label npz")
     p.add_argument("--img_dir", required=True)
+    p.add_argument("--dataset", default="custom",
+                   help="protocol name (3dpw, h36m-p2, mpi-inf-3dhp, lsp, ...)")
     p.add_argument("--data_dir", default=None, help="asset dir")
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--log_freq", type=int, default=10)
+    p.add_argument("--result_file", default=None,
+                   help="npz path for per-sample prediction dump")
+    p.add_argument("--gendered", action="store_true",
+                   help="use gendered SMPL GT (3DPW protocol)")
+    p.add_argument("--allow_identity_cam", action="store_true",
+                   help="proceed with identity cam_rotmat when labels lack it")
+    p.add_argument("--eval_parts", action="store_true",
+                   help="LSP mask/part-segmentation protocol")
+    p.add_argument("--parts_dir", default=None,
+                   help="directory of GT part maps (one png per sample)")
+    p.add_argument("--parts_template", default="{stem}.png",
+                   help="GT part-map filename from the image stem")
     p.add_argument("--misc", nargs="*", default=[],
                    help="dotted config overrides: key value [key value ...]")
     return p
 
 
-def main(argv=None):
-    args = build_parser().parse_args(argv)
-
-    from whmr_tpu.utils.profiling import enable_compile_cache
-
-    enable_compile_cache()
-
+def load_model_state(args, cfg):
+    """Build model + restore checkpoint -> (model, variables, consts, assets)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from whmr_tpu.config import WHMRConfig
     from whmr_tpu.data.assets import get_assets
-    from whmr_tpu.data.loader import BatchLoader
-    from whmr_tpu.data.npz_dataset import NpzDataset
-    from whmr_tpu.inference.evaluate import run_evaluation
     from whmr_tpu.models.regressor import body_consts_from_assets
     from whmr_tpu.models.whmr import WHMR
     from whmr_tpu.training.train_step import create_train_state
     from whmr_tpu.utils.checkpoint import CheckpointManager
     from whmr_tpu.utils.testing import make_example_inputs
 
-    cfg = WHMRConfig()
-    if args.misc:
-        cfg = cfg.with_overrides(**dict(zip(args.misc[::2], args.misc[1::2])))
     assets = get_assets(args.data_dir)
     consts = body_consts_from_assets(assets)
     model = WHMR(cfg)
-
     example = make_example_inputs(cfg, 2)
     state = create_train_state(
         cfg, model, consts, jax.random.PRNGKey(0),
@@ -60,30 +79,155 @@ def main(argv=None):
             "opt_state": state.opt_state,
             "step": np.zeros((), np.int32),
             "epoch": 0,
+            "batch_idx": 0,
         }
     )
     if payload is None:
         raise SystemExit(f"no checkpoint found in {args.checkpoint}")
     variables = {"params": payload["params"], "batch_stats": payload["batch_stats"]}
+    return model, variables, consts, assets
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    from whmr_tpu.utils.profiling import enable_compile_cache
+
+    enable_compile_cache()
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from whmr_tpu.config import WHMRConfig
+    from whmr_tpu.data.loader import BatchLoader
+    from whmr_tpu.data.npz_dataset import NpzDataset
+    from whmr_tpu.inference.evaluate import run_evaluation
+
+    cfg = WHMRConfig()
+    if args.misc:
+        cfg = cfg.with_overrides(**dict(zip(args.misc[::2], args.misc[1::2])))
+    model, variables, consts, assets = load_model_state(args, cfg)
 
     ds = NpzDataset(cfg, args.dataset_npz, args.img_dir, is_train=False)
     loader = BatchLoader(ds, args.batch_size, shuffle=False, drop_last=False)
+
+    if args.eval_parts:
+        if not args.parts_dir:
+            raise SystemExit("--eval_parts requires --parts_dir")
+        result = run_parts_evaluation(args, cfg, model, variables, consts, assets, ds, loader)
+        print(
+            "*** Final Results ***\n"
+            f"Mask Accuracy: {result['mask_accuracy']:.4f}\n"
+            f"Mask F1: {result['mask_f1']:.4f}\n"
+            f"Parts Accuracy: {result['parts_accuracy']:.4f}"
+        )
+        return
+
+    if ds.cam_rotmat is None and not args.allow_identity_cam:
+        raise SystemExit(
+            "labels carry no 'cam_rotmat': world-frame metrics would be "
+            "evaluated with an identity camera (wrong for any non-level "
+            "camera). Provide eval labels with cam_rotmat (reference "
+            "eval.py:157-163) or pass --allow_identity_cam to proceed."
+        )
+
+    gendered_smpl = None
+    if args.gendered:
+        from whmr_tpu.data.assets import get_assets
+        from whmr_tpu.models.smpl import smpl_params_from_assets
+
+        gendered_smpl = {
+            "male": smpl_params_from_assets(get_assets(args.data_dir, "male")),
+            "female": smpl_params_from_assets(get_assets(args.data_dir, "female")),
+        }
 
     def batches():
         for host_batch in loader:
             b = {k: jnp.asarray(v) for k, v in host_batch.items()
                  if k in ("img", "center", "scale", "bbox_height", "orig_shape",
-                          "bbox_info", "pose", "betas")}
+                          "bbox_info", "pose", "betas", "gender", "global_pose")}
             b["valid"] = jnp.asarray(host_batch["has_smpl"])
             n = b["img"].shape[0]
-            b["cam_rotmat"] = jnp.broadcast_to(jnp.eye(3), (n, 3, 3))
+            if "cam_rotmat" in host_batch:
+                b["cam_rotmat"] = jnp.asarray(host_batch["cam_rotmat"])
+            else:
+                print("[eval] WARNING: identity cam_rotmat substituted")
+                b["cam_rotmat"] = jnp.broadcast_to(jnp.eye(3), (n, 3, 3))
             yield b
 
-    result = run_evaluation(cfg, model, variables, consts, batches(), log_every=args.log_freq)
+    joint_mapper = "j17" if args.dataset in J17_DATASETS else "j14"
+    result = run_evaluation(
+        cfg, model, variables, consts, batches(), log_every=args.log_freq,
+        gendered_smpl=gendered_smpl, joint_mapper=joint_mapper,
+        result_file=args.result_file,
+    )
     print(
         f"*** Final Results ***\nPVE: {result['pve']:.2f}\n"
         f"MPJPE: {result['mpjpe']:.2f}\nPA-MPJPE (Reconstruction Error): {result['pa_mpjpe']:.2f}"
     )
+
+
+def run_parts_evaluation(args, cfg, model, variables, consts, assets, ds, loader):
+    """LSP mask/part protocol: render predicted 6-part maps in the crop
+    frame, score against GT part pngs (reference eval.py:145-148 +
+    utils/part_utils.py, rebuilt on the JAX rasterizer)."""
+    import cv2
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from whmr_tpu.data.augment import crop_image
+    from whmr_tpu.inference.part_segm import (
+        render_part_segmentation,
+        segmentation_metrics,
+    )
+
+    res = (cfg.img_res[1], cfg.img_res[0])  # (H, W)
+
+    def fwd(variables, consts, batch):
+        preds = model.apply(
+            variables, consts, batch["img"], batch["center"], batch["scale"],
+            batch["bbox_height"], batch["orig_shape"], batch["bbox_info"],
+            train=False, cam_rotmat=batch.get("cam_rotmat"),
+        )
+        last = preds["smpl_out"][-1]
+        return last["verts"], last["pred_cam"]
+
+    fwd_j = jax.jit(fwd)
+    agg = {"mask_accuracy": 0.0, "mask_f1": 0.0, "parts_accuracy": 0.0}
+    count = 0
+    for host_batch in loader:
+        b = {k: jnp.asarray(v) for k, v in host_batch.items()
+             if k in ("img", "center", "scale", "bbox_height", "orig_shape",
+                      "bbox_info")}
+        n = b["img"].shape[0]
+        b["cam_rotmat"] = jnp.broadcast_to(jnp.eye(3), (n, 3, 3))
+        verts, cam = fwd_j(variables, consts, b)
+        pred_parts = np.asarray(
+            render_part_segmentation(assets, verts, cam, resolution=res)
+        )
+        for i in range(n):
+            idx = int(host_batch["sample_index"][i])
+            stem = os.path.splitext(os.path.basename(str(ds.imgname[idx])))[0]
+            gt_path = os.path.join(
+                args.parts_dir, args.parts_template.format(stem=stem)
+            )
+            if not os.path.exists(gt_path):
+                continue
+            gt_full = cv2.imread(gt_path, cv2.IMREAD_GRAYSCALE)
+            # GT part maps are full-image; crop with the eval bbox,
+            # nearest-neighbor so labels stay integral.
+            gt_crop = crop_image(
+                gt_full.astype(np.float32), ds.center[idx], float(ds.scale[idx]),
+                cfg.img_res, nearest=True,
+            ).astype(np.int32)
+            m = segmentation_metrics(pred_parts[i], gt_crop)
+            for k in agg:
+                agg[k] += m[k]
+            count += 1
+    if count == 0:
+        raise SystemExit(f"no GT part maps matched in {args.parts_dir}")
+    return {k: v / count for k, v in agg.items()}
 
 
 if __name__ == "__main__":

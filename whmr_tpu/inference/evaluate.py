@@ -51,18 +51,34 @@ class EvalMetrics:
         }
 
 
-def make_eval_step(cfg: WHMRConfig, model: WHMR, gendered_smpl=None):
-    """Jitted eval step: batch -> per-batch (sum_mpjpe, sum_pa, sum_pve, n).
+def make_eval_step(
+    cfg: WHMRConfig,
+    model: WHMR,
+    gendered_smpl=None,
+    joint_mapper: str = "j14",
+    save_arrays: bool = False,
+):
+    """Jitted eval step: batch -> ((sum_mpjpe, sum_pa, sum_pve, n), extras).
 
     Mirrors eval.py:155-228: model fwd with GT cam_rotmat; world-frame
-    (global) vertices; J14 joints via the H36M regressor, pelvis-centered.
+    (global) vertices; H36M-regressed joints, pelvis-centered, sliced by
+    `joint_mapper` ('j14' default, 'j17' for the mpi-inf-3dhp protocol,
+    eval.py:150-151).
 
     GT vertices come from (in priority order): precomputed batch
     'gt_vertices'; gendered SMPL models selected per-sample by batch
     'gender' (0=male, 1=female, else neutral — the 3DPW protocol,
     trainer.py:784-798) when `gendered_smpl={'male': SMPLParams,
     'female': SMPLParams}` is given; else the neutral model.
+
+    save_arrays=True additionally returns per-sample arrays for the
+    `--result_file` dump (eval.py:312-319): full 17 H36M pred joints,
+    mapped/centered pred & gt & Procrustes-aligned pred, pose/betas/cam.
     """
+    from whmr_tpu.data.assets import H36M_TO_J14, H36M_TO_J17
+    from whmr_tpu.models.smpl import select_h36m_joints
+
+    mapper = H36M_TO_J17 if joint_mapper == "j17" else H36M_TO_J14
 
     def step(variables, consts: BodyConsts, batch):
         preds = model.apply(
@@ -75,11 +91,10 @@ def make_eval_step(cfg: WHMRConfig, model: WHMR, gendered_smpl=None):
             batch["orig_shape"],
             batch["bbox_info"],
             train=False,
-            j_regressor=consts.j_regressor_h36m,
             cam_rotmat=batch.get("cam_rotmat"),
         )
         pred_verts = preds["global_output"]["global_verts"]
-        pred_j14 = preds["global_output"]["global_kp_3d"]  # pelvis-centered J14
+        pred_j = select_h36m_joints(consts.j_regressor_h36m, pred_verts, mapper)
 
         # GT: either direct vertices (3dpw gendered) or pose/betas. The
         # world-frame protocol prefers global_pose when the labels carry it
@@ -95,24 +110,40 @@ def make_eval_step(cfg: WHMRConfig, model: WHMR, gendered_smpl=None):
                 female = smpl_forward(gendered_smpl["female"], batch["betas"], gt_rotmats).vertices
                 g = batch["gender"][:, None, None]
                 gt_verts = jnp.where(g == 0, male, jnp.where(g == 1, female, gt_verts))
-        gt_j14 = select_h36m_j14(consts.j_regressor_h36m, gt_verts)
+        gt_j = select_h36m_joints(consts.j_regressor_h36m, gt_verts, mapper)
 
         valid = batch["valid"].astype(jnp.float32)
-        err = jnp.sqrt(jnp.sum((pred_j14 - gt_j14) ** 2, axis=-1)).mean(axis=-1)
-        aligned = batch_compute_similarity_transform(pred_j14, gt_j14)
-        err_pa = jnp.sqrt(jnp.sum((aligned - gt_j14) ** 2, axis=-1)).mean(axis=-1)
+        err = jnp.sqrt(jnp.sum((pred_j - gt_j) ** 2, axis=-1)).mean(axis=-1)
+        aligned = batch_compute_similarity_transform(pred_j, gt_j)
+        err_pa = jnp.sqrt(jnp.sum((aligned - gt_j) ** 2, axis=-1)).mean(axis=-1)
         # PVE on pelvis-aligned vertices (eval.py:204-210 subtracts pelvis).
         pred_pel = select_pelvis(consts, pred_verts)
         gt_pel = select_pelvis(consts, gt_verts)
         pve = jnp.sqrt(
             jnp.sum(((pred_verts - pred_pel) - (gt_verts - gt_pel)) ** 2, axis=-1)
         ).mean(axis=-1)
-        return (
+        sums = (
             jnp.sum(err * valid),
             jnp.sum(err_pa * valid),
             jnp.sum(pve * valid),
             jnp.sum(valid),
         )
+        extras = None
+        if save_arrays:
+            last = preds["smpl_out"][-1]
+            from whmr_tpu.models.smpl import vertices2joints
+
+            extras = {
+                "pred_joints": vertices2joints(consts.j_regressor_h36m, pred_verts),
+                "pred": pred_j,
+                "pred_pa": aligned,
+                "gt": gt_j,
+                "pose": last["pose"],
+                "betas": last["pred_shape"],
+                "camera": last["pred_cam"],
+                "valid": valid,
+            }
+        return sums, extras
 
     return jax.jit(step)
 
@@ -132,17 +163,38 @@ def run_evaluation(
     batches: Iterable[Dict[str, jnp.ndarray]],
     log_every: int = 10,
     gendered_smpl=None,
+    joint_mapper: str = "j14",
+    result_file: str = None,
 ) -> Dict[str, float]:
-    """Drive the eval loop over an iterable of device-ready batches."""
-    step = make_eval_step(cfg, model, gendered_smpl=gendered_smpl)
+    """Drive the eval loop over an iterable of device-ready batches.
+
+    result_file: path to dump per-sample prediction arrays as npz
+    (reference eval.py:312-319 npz + mat dump).
+    """
+    step = make_eval_step(
+        cfg, model, gendered_smpl=gendered_smpl, joint_mapper=joint_mapper,
+        save_arrays=result_file is not None,
+    )
     metrics = EvalMetrics()
+    collected: Dict[str, list] = {}
     for i, batch in enumerate(batches):
-        s_mpjpe, s_pa, s_pve, n = step(variables, consts, batch)
+        (s_mpjpe, s_pa, s_pve, n), extras = step(variables, consts, batch)
         metrics.update(s_mpjpe, s_pa, s_pve, n)
+        if extras is not None:
+            host = jax.device_get(extras)
+            for k, v in host.items():
+                collected.setdefault(k, []).append(v)
         if log_every and (i + 1) % log_every == 0:
             r = metrics.result()
             print(
                 f"[eval] {metrics.count} samples  MPJPE {r['mpjpe']:.2f}  "
                 f"PA-MPJPE {r['pa_mpjpe']:.2f}  PVE {r['pve']:.2f}"
             )
+    if result_file and collected:
+        import numpy as np
+
+        np.savez(
+            result_file, **{k: np.concatenate(v) for k, v in collected.items()}
+        )
+        print(f"[eval] per-sample results saved to {result_file}")
     return metrics.result()

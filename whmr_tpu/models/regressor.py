@@ -61,10 +61,17 @@ class BodyConsts(NamedTuple):
     mean_pose: jnp.ndarray      # (1, 216) rotmat entries of the mean pose
     mean_shape: jnp.ndarray     # (1, 10)
     mean_cam: jnp.ndarray       # (1, 3)
+    # 431-vertex normalized adjacency for the Graphormer GCN (reference
+    # data/smpl_431_adjmat_*.pt, _gcnn.py:132-138); None when unused.
+    adj431: Optional[jnp.ndarray] = None
 
 
-def body_consts_from_assets(assets: SMPLAssets, dtype=jnp.float32) -> BodyConsts:
+def body_consts_from_assets(
+    assets: SMPLAssets, dtype=jnp.float32, adjacency_dir: Optional[str] = None
+) -> BodyConsts:
     """Build the constant bundle (mean rot6d -> rotmat as whmr.py:64-65)."""
+    from whmr_tpu.models.graphormer import build_adjacency
+
     mean_rotmat = rot6d_to_rotmat(jnp.asarray(assets.mean_pose_rot6d, dtype).reshape(1, -1))
     return BodyConsts(
         smpl=smpl_params_from_assets(assets, dtype),
@@ -75,6 +82,7 @@ def body_consts_from_assets(assets: SMPLAssets, dtype=jnp.float32) -> BodyConsts
         mean_pose=mean_rotmat.reshape(1, NPOSE),
         mean_shape=jnp.asarray(assets.mean_shape, dtype).reshape(1, 10),
         mean_cam=jnp.asarray(assets.mean_cam, dtype).reshape(1, 3),
+        adj431=jnp.asarray(build_adjacency(assets, adjacency_dir), dtype),
     )
 
 

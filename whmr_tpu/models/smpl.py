@@ -174,16 +174,42 @@ def vertices2joints(j_regressor: jnp.ndarray, vertices: jnp.ndarray) -> jnp.ndar
     return jnp.einsum("jv,bvk->bjk", j_regressor, vertices, precision=_HI)
 
 
+def joints_from_vertices(params: SMPLParams, vertices: jnp.ndarray):
+    """Joint sets regressed from arbitrary (e.g. refined) vertices.
+
+    The Graphormer branch's joint path (e2e_body_network.py:91-97):
+    J_regressor x verts -> 24 kinematic joints, vertex-selector extras,
+    extra-regressor joints, pare 49-joint map. Returns (joints49,
+    joints_smpl45).
+    """
+    j24 = jnp.einsum("jv,bvk->bjk", params.j_regressor, vertices, precision=_HI)
+    extra_vtx = vertices[:, params.vertex_joint_ids]
+    joints_smpl = jnp.concatenate([j24, extra_vtx], axis=1)  # (B, 45, 3)
+    extra_reg = jnp.einsum(
+        "jv,bvk->bjk", params.j_regressor_extra, vertices, precision=_HI
+    )
+    joints54 = jnp.concatenate([joints_smpl, extra_reg], axis=1)
+    return joints54[:, params.joint_map], joints_smpl
+
+
+def select_h36m_joints(
+    j_regressor_h36m: jnp.ndarray, vertices: jnp.ndarray, mapper
+) -> jnp.ndarray:
+    """H36M regression -> pelvis-centered joint subset.
+
+    Matches the eval protocol (reference eval.py:199-219 and whmr.py:176-180):
+    17 H36M joints from vertices, pelvis = joint 0 BEFORE the mapper slice,
+    select `mapper` (H36M_TO_J14 or H36M_TO_J17), subtract pelvis.
+    """
+    joints = vertices2joints(j_regressor_h36m, vertices)
+    pelvis = joints[:, :1]
+    return joints[:, jnp.asarray(mapper)] - pelvis
+
+
 def select_h36m_j14(
     j_regressor_h36m: jnp.ndarray, vertices: jnp.ndarray
 ) -> jnp.ndarray:
-    """H36M regression -> pelvis-centered 14 LSP joints.
-
-    Matches the eval-time J_regressor path (reference whmr.py:176-180):
-    17 H36M joints from vertices, center on pelvis (index 0), select J14.
-    """
+    """Pelvis-centered 14 LSP joints (the default eval protocol)."""
     from whmr_tpu.data.assets import H36M_TO_J14
 
-    joints = vertices2joints(j_regressor_h36m, vertices)
-    pelvis = joints[:, :1]
-    return joints[:, jnp.asarray(H36M_TO_J14)] - pelvis
+    return select_h36m_joints(j_regressor_h36m, vertices, H36M_TO_J14)

@@ -123,6 +123,16 @@ class WHMR(nn.Module):
             dtype=self.dtype, bn_axis_name=self.bn_axis_name, name="cam_model"
         )
         self.global_orient = GlobalOrientRegressor(dtype=self.dtype, name="global_orient")
+        if c.pymaf.grph_on:
+            from whmr_tpu.models.graphormer import GraphormerBodyNetwork
+
+            # Non-parametric refiner (reference slot whmr.py:363/613-626,
+            # e2e_body_network.py:44-150). The reference's commented design
+            # SUBSTITUTES it for the last MAF step; here it is APPENDED as a
+            # 4th stage so the parametric chain and the refiner both train.
+            self.graphormer = GraphormerBodyNetwork(
+                dtype=self.dtype, name="transformer0"
+            )
         if c.pymaf.aux_supv_on:
             self.dp_head = IUVHead(
                 with_uv=c.loss.point_regression_weights > 0, dtype=self.dtype,
@@ -146,6 +156,7 @@ class WHMR(nn.Module):
         j_regressor: Optional[jnp.ndarray] = None,
         full_x: Optional[jnp.ndarray] = None,
         cam_rotmat: Optional[jnp.ndarray] = None,
+        meta_masks: Optional[jnp.ndarray] = None,
     ) -> Dict[str, Any]:
         """Forward pass.
 
@@ -253,6 +264,17 @@ class WHMR(nn.Module):
                 body_feat = feat_cat
             out_smpl.append(smpl_output)
 
+        # 6b. Graphormer vertex refinement (reference design at
+        # whmr.py:613-626 / e2e_body_network.py:44-150): MAF-sample the 431
+        # coarse vertices on the finest pyramid level, refine them
+        # non-parametrically, recompute the joint/projection bundle.
+        if c.pymaf.grph_on:
+            refined = self._graphormer_stage(
+                consts, level_feats[-1], smpl_output, body_feat,
+                cam_state, meta_masks, train, j_regressor,
+            )
+            out_smpl.append(refined)
+
         # 7. Global orientation -> world SMPL (whmr.py:630-654).
         last_local_rotmat = smpl_output["rotmat"][:, 0]
         global_rotmat1 = self.global_orient(
@@ -292,6 +314,9 @@ class WHMR(nn.Module):
         if c.pymaf.depth_supv_on:
             out["dpth_out"].append(self.dpth_head(s_feat))
 
+        if c.pymaf.grph_on:
+            out["refined"] = out_smpl[-1]
+
         out["vis"] = {
             "local_smpl_vertices": smpl_output["verts"],
             "smpl_vertices": world_out.vertices,
@@ -304,3 +329,96 @@ class WHMR(nn.Module):
             "local_pose": smpl_output["pose"],
         }
         return out
+
+    def iuv_logits(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        """Full-frame dense-IUV part logits: backbone -> pyramid -> dp_head.
+
+        The subgraph behind IUVProposalDetector (inference/detector.py):
+        person-foreground segmentation reusing the loaded checkpoint —
+        the framework's replacement for the reference's external YOLO
+        detector stage (tester.py:68-79). Returns (B, Hm, Wm, 15)
+        ann-index logits (channel 0 = background).
+        """
+        assert self.cfg.pymaf.aux_supv_on, "dp_head not built"
+        if self.cfg.pymaf.backbone == "vitpose":
+            s_feat = self.feature_extractor(x, train=train)
+        else:
+            s_feat, _ = self.feature_extractor(x, train=train)
+        for i in range(self.cfg.pymaf.n_iter):
+            s_feat = self.deconv_blocks[i](s_feat, train=train)
+        return self.dp_head(s_feat)["predict_ann_index"]
+
+    def _graphormer_stage(
+        self,
+        consts: BodyConsts,
+        im_feat: jnp.ndarray,
+        smpl_output: Dict[str, jnp.ndarray],
+        body_feat: jnp.ndarray,
+        cam_state: CamState,
+        meta_masks: Optional[jnp.ndarray],
+        train: bool,
+        j_regressor: Optional[jnp.ndarray],
+    ) -> Dict[str, jnp.ndarray]:
+        """One Graphormer refinement step -> smpl_out-style dict.
+
+        Token features are MAF-sampled at the (detached) 431 coarse verts of
+        the last parametric step; the refined mesh's joints and projections
+        are recomputed (e2e_body_network.py:91-130), while the parametric
+        fields (rotmat/cam/shape/pose) carry over (e2e:131-150).
+        """
+        from whmr_tpu.models.smpl import joints_from_vertices, select_h36m_j14
+        from whmr_tpu.ops.camera import (
+            perspective_projection,
+            weak_perspective_projection,
+        )
+
+        c = self.cfg
+        temp_verts = lax.stop_gradient(smpl_output["temp_verts"])
+        pred_cam = lax.stop_gradient(smpl_output["pred_cam"])
+        _, grid_feat = self.maf_extractors[-1](im_feat, temp_verts, pred_cam)
+        refined = self.graphormer(
+            body_feat, grid_feat, temp_verts, consts.adj431,
+            meta_masks=meta_masks, train=train,
+        )
+        verts = refined["verts"]
+        joints49, joints_smpl = joints_from_vertices(consts.smpl, verts)
+
+        # Crop-frame / world projections with the carried camera, with the
+        # TRAIN.STAGE detach gating of the reference (e2e:97-100, 106-124).
+        kp_src = (
+            joints49 if (c.train.stage == 1 or not train)
+            else lax.stop_gradient(joints49)
+        )
+        kp_2d = weak_perspective_projection(kp_src, smpl_output["pred_cam"], c.img_res)
+        kp_w_src = (
+            lax.stop_gradient(joints49) if (c.train.stage == 1 and train) else joints49
+        )
+        img_h = cam_state.orig_shape[:, 0]
+        img_w = cam_state.orig_shape[:, 1]
+        camera_center = jnp.stack([img_w, img_h], axis=-1) / 2.0
+        kp_2d_w = perspective_projection(
+            kp_w_src, None, smpl_output["pred_cam_t"],
+            smpl_output["focal_length"], camera_center,
+        )
+        kp_2d_w = kp_2d_w / camera_center[:, None, :] - 1.0
+
+        if j_regressor is not None:
+            kp3d = select_h36m_j14(j_regressor, verts)
+        else:
+            kp3d = joints49
+
+        output = dict(smpl_output)
+        output.update(
+            {
+                "verts": verts,
+                "sub_verts": refined["sub_verts"],
+                "temp_verts": refined["temp_verts"],
+                "kp_2d": kp_2d,
+                "kp_2d_w": kp_2d_w,
+                "kp_3d": kp3d,
+                "smpl_kp_3d": joints_smpl,
+                "pelvis": joints_smpl[:, :1, :],
+                "markers": verts[:, consts.ssm],
+            }
+        )
+        return output

@@ -180,6 +180,7 @@ def train_step(
             batch["orig_shape"],
             batch["bbox_info"],
             train=True,
+            meta_masks=batch.get("meta_mask"),
             rngs={"dropout": rng},
             mutable=["batch_stats"],
         )

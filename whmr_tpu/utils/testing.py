@@ -95,5 +95,7 @@ def make_example_train_batch(
         "has_smpl": np.ones(batch, dtype),
         "has_pose_3d": np.ones(batch, dtype),
         "focal": np.full(batch, 1469.0, dtype),
+        # 431-vertex BERT-style visibility mask (base_dataset.py:345-355)
+        "meta_mask": (rng.random_sample((batch, 431, 1)) > 0.15).astype(dtype),
     }
     return out
