@@ -161,3 +161,84 @@ class TestFullConverter:
         assert out["params"]["deconv0"]["ConvTranspose_0"]["kernel"].shape == (4, 4, 768, 256)
         assert out["batch_stats"]["deconv0"]["BatchNorm_0"]["mean"].shape == (256,)
         assert out["params"]["maf0"]["conv0"]["kernel"].shape == (256, 128)
+
+
+class TestConversionCompleteness:
+    """The flax analogue of the reference's strict=True checkpoint load
+    (demo/tester.py:61-66): a full reference-shaped state_dict must convert
+    with 0 missing / 0 unexpected / 0 mismatched keys vs live model.init."""
+
+    def _check(self, cfg):
+        import jax
+        import jax.numpy as jnp
+
+        from whmr_tpu.data.assets import synthetic_smpl_assets
+        from whmr_tpu.models.regressor import body_consts_from_assets
+        from whmr_tpu.models.whmr import WHMR
+        from whmr_tpu.utils.convert import (
+            check_against_model,
+            convert_whmr_checkpoint,
+            synthetic_reference_state_dict,
+        )
+        from whmr_tpu.utils.testing import make_example_inputs
+
+        sd = synthetic_reference_state_dict(cfg)
+        converted, report = convert_whmr_checkpoint(sd, return_report=True)
+        assert not report["unrecognized"], sorted(report["unrecognized"])[:10]
+
+        consts = body_consts_from_assets(synthetic_smpl_assets())
+        model = WHMR(cfg)
+        inputs = make_example_inputs(cfg, 1)
+        args = {k: jnp.asarray(v) for k, v in inputs.items()}
+        args["full_x"] = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        variables = jax.eval_shape(
+            lambda c, a: model.init(
+                {"params": jax.random.PRNGKey(0),
+                 "dropout": jax.random.PRNGKey(1)},
+                c, train=False, **a,
+            ),
+            consts, args,
+        )
+        missing, unexpected, mismatched = check_against_model(converted, variables)
+        assert not missing, sorted(missing)[:10]
+        assert not unexpected, sorted(unexpected)[:10]
+        assert not mismatched, sorted(mismatched)[:10]
+
+    def test_tiny_config_complete(self):
+        from whmr_tpu.utils.testing import tiny_config
+
+        self._check(tiny_config())
+
+    def test_full_size_config_complete(self):
+        """The PUBLISHED model configuration (ViT-B, 256-ch pyramid)."""
+        from whmr_tpu.config import WHMRConfig
+
+        self._check(WHMRConfig())
+
+    def test_full_size_with_depth_head(self):
+        from dataclasses import replace
+
+        from whmr_tpu.config import WHMRConfig
+
+        cfg = WHMRConfig()
+        cfg = replace(cfg, pymaf=replace(cfg.pymaf, depth_supv_on=True))
+        self._check(cfg)
+
+    def test_standalone_vitpose_prefix(self):
+        """The bare vitpose-b-multi-coco.pth ('backbone.*' keys) converts
+        into the feature_extractor subtree."""
+        from whmr_tpu.utils.convert import (
+            convert_whmr_checkpoint,
+            synthetic_reference_state_dict,
+        )
+        from whmr_tpu.utils.testing import tiny_config
+
+        sd = synthetic_reference_state_dict(tiny_config())
+        bare = {
+            k.replace("feature_extractor.", ""): v
+            for k, v in sd.items()
+            if k.startswith("feature_extractor.")
+        }
+        converted = convert_whmr_checkpoint(bare)
+        fe = converted["params"]["feature_extractor"]
+        assert "patch_embed" in fe and "block0" in fe and "last_norm" in fe

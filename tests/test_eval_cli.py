@@ -131,3 +131,38 @@ class TestEvalCLI:
             "pymaf.mlp_dim", "32,16,8,4",
             "deconv.num_filters", "32,32,32",
         ]
+
+
+class TestConvertRoundTrip:
+    def test_synthetic_ckpt_through_convert_and_eval(self, eval_setup, tmp_path, capsys):
+        """VERDICT item 1 'done' criterion: a reference-shaped .pt converts
+        via whmr-convert (strict) and round-trips through whmr-eval."""
+        import torch
+
+        from whmr_tpu.inference import eval_cli
+        from whmr_tpu.utils import convert_cli
+        from whmr_tpu.utils.convert import synthetic_reference_state_dict
+
+        cfg = tiny_config()
+        sd = {k: torch.from_numpy(v) for k, v in
+              synthetic_reference_state_dict(cfg).items()}
+        pt_path = str(tmp_path / "ref_ckpt.pt")
+        torch.save({"model": sd}, pt_path)
+
+        out_dir = str(tmp_path / "converted")
+        misc = TestEvalCLI._tiny_misc()
+        convert_cli.main([
+            "--torch_ckpt", pt_path, "--out", out_dir, "--strict",
+        ] + misc)
+        captured = capsys.readouterr().out
+        assert "mismatched: 0" in captured
+        assert "unmatched ckpt keys: 0" in captured
+
+        eval_cli.main([
+            "--checkpoint", out_dir,
+            "--dataset_npz", eval_setup["npz"],
+            "--img_dir", eval_setup["img_dir"],
+            "--batch_size", "2", "--allow_identity_cam",
+        ] + misc)
+        captured = capsys.readouterr().out
+        assert "Final Results" in captured

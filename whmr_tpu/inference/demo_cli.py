@@ -69,6 +69,7 @@ def main(argv=None):
                 "opt_state": state.opt_state,
                 "step": np.zeros((), np.int32),
                 "epoch": 0,
+                "batch_idx": 0,
             }
         )
         if payload is None:

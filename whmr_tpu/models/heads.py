@@ -50,7 +50,8 @@ class TzHead(nn.Module):
         # tokens: 5 channels, each an h*w-dim token (whmr.py:571).
         x = x.reshape(b, h * w, 5).transpose(0, 2, 1)  # (B, 5, h*w)
         x = TransformerBlock(
-            num_heads=2, qkv_bias=False, dtype=self.dtype, name="decoder",
+            num_heads=2, qkv_bias=False, ln_eps=1e-5, dtype=self.dtype,
+            name="decoder",
         )(x)
         x = jnp.mean(x, axis=1)  # AvgPool1d(k=5) over the token axis (:575)
         x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)

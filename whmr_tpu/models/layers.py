@@ -160,14 +160,17 @@ class TransformerBlock(nn.Module):
     num_heads: int
     mlp_ratio: float = 4.0
     qkv_bias: bool = True
+    # LN epsilon: the mmpose ViT pins 1e-6 (vit.py:212); a BARE timm Block
+    # (the Tz head, whmr.py:423) defaults to nn.LayerNorm's 1e-5.
+    ln_eps: float = 1e-6
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         c = x.shape[-1]
-        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
+        y = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="norm1")(x)
         x = x + Attention(self.num_heads, self.qkv_bias, dtype=self.dtype, name="attn")(y)
-        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
+        y = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="norm2")(x)
         x = x + MLP(int(c * self.mlp_ratio), c, dtype=self.dtype, name="mlp")(y)
         return x
 

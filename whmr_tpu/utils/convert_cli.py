@@ -41,6 +41,12 @@ def main(argv=None):
     p.add_argument("--torch_ckpt", required=True)
     p.add_argument("--out", required=True, help="orbax checkpoint dir")
     p.add_argument("--state_dict_key", default="model", help="key inside the .pt (or 'none')")
+    p.add_argument("--data_dir", default=None, help="asset dir")
+    p.add_argument("--strict", action="store_true",
+                   help="fail on any mismatched/unmatched/unrecognized key "
+                        "(the flax analogue of torch strict=True, tester.py:65)")
+    p.add_argument("--misc", nargs="*", default=[],
+                   help="dotted config overrides: key value [key value ...]")
     args = p.parse_args(argv)
 
     import numpy as np
@@ -61,10 +67,16 @@ def main(argv=None):
     ckpt = torch.load(args.torch_ckpt, map_location="cpu", weights_only=False)
     sd = ckpt if args.state_dict_key == "none" else ckpt.get(args.state_dict_key, ckpt)
     sd = {k.replace("module.", ""): v for k, v in sd.items()}
-    converted = convert_whmr_checkpoint(sd)
+    converted, report = convert_whmr_checkpoint(sd, return_report=True)
+    if report["unrecognized"]:
+        print(f"unrecognized ckpt keys ({len(report['unrecognized'])}):")
+        for k in sorted(report["unrecognized"])[:20]:
+            print("  ", k)
 
     cfg = WHMRConfig()
-    consts = body_consts_from_assets(get_assets())
+    if args.misc:
+        cfg = cfg.with_overrides(**dict(zip(args.misc[::2], args.misc[1::2])))
+    consts = body_consts_from_assets(get_assets(args.data_dir))
     model = WHMR(cfg)
     example = make_example_inputs(cfg, 2)
     state = create_train_state(
@@ -83,6 +95,13 @@ def main(argv=None):
     )
     for m in (rep_p["mismatched"] + rep_s["mismatched"])[:20]:
         print("  MISMATCH", m)
+    problems = (
+        len(rep_p["mismatched"]) + len(rep_s["mismatched"])
+        + len(rep_p["extra"]) + len(rep_s["extra"])
+        + len(report["unrecognized"])
+    )
+    if args.strict and problems:
+        raise SystemExit(f"--strict: {problems} conversion problems (see above)")
 
     mgr = CheckpointManager(args.out)
     mgr.save(
@@ -90,9 +109,13 @@ def main(argv=None):
         {
             "params": params,
             "batch_stats": stats,
-            "opt_state": state.opt_state,
+            "opt_state": jax.tree.map(
+                lambda x: np.asarray(x) if hasattr(x, "shape") else x,
+                state.opt_state,
+            ),
             "step": np.zeros((), np.int32),
             "epoch": 0,
+            "batch_idx": 0,
         },
     )
     print(f"wrote orbax checkpoint to {args.out}")
