@@ -166,3 +166,47 @@ class TestConvertRoundTrip:
         ] + misc)
         captured = capsys.readouterr().out
         assert "Final Results" in captured
+
+
+class TestHMRBaseline:
+    def test_hmr_regressor_eval(self, eval_setup, tmp_path, capsys):
+        """--regressor hmr evaluates the SPIN-style baseline
+        (reference eval.py:52,174-176)."""
+        import jax
+        import jax.numpy as jnp
+
+        from whmr_tpu.data.assets import synthetic_smpl_assets
+        from whmr_tpu.inference import eval_cli
+        from whmr_tpu.models.hmr import HMR
+        from whmr_tpu.models.regressor import body_consts_from_assets
+        from whmr_tpu.utils.checkpoint import CheckpointManager
+        from whmr_tpu.utils.testing import make_example_inputs
+
+        cfg = tiny_config()
+        consts = body_consts_from_assets(synthetic_smpl_assets())
+        model = HMR()
+        x = jnp.asarray(make_example_inputs(cfg, 2)["x"])
+        variables = jax.jit(
+            lambda c, x: model.init(
+                {"params": jax.random.PRNGKey(0),
+                 "dropout": jax.random.PRNGKey(1)},
+                c, x, train=False,
+            )
+        )(consts, x)
+        ckpt_dir = str(tmp_path / "hmr_ckpt")
+        CheckpointManager(ckpt_dir).save(
+            1,
+            {
+                "params": jax.device_get(variables["params"]),
+                "batch_stats": jax.device_get(variables["batch_stats"]),
+            },
+        )
+        eval_cli.main([
+            "--checkpoint", ckpt_dir,
+            "--dataset_npz", eval_setup["npz"],
+            "--img_dir", eval_setup["img_dir"],
+            "--batch_size", "2", "--allow_identity_cam",
+            "--regressor", "hmr",
+        ] + TestEvalCLI._tiny_misc())
+        captured = capsys.readouterr().out
+        assert "Final Results" in captured

@@ -1,0 +1,171 @@
+"""Real-format asset loading paths, exercised with fabricated files.
+
+These cover the code that otherwise only runs on the user's downloaded data
+bundle (VERDICT weak item 6): the chumpy-free SMPL pkl unpickler
+(assets.py:141-174), the full `load_smpl_assets` directory layout
+(assets.py:177-225), and the DensePose UV_Processed.mat branch of
+`build_render_consts` (gt_renderer.py:41-57).
+"""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from whmr_tpu.data.assets import load_smpl_assets, synthetic_smpl_assets
+
+
+class _FakeCh:
+    """Pickles as chumpy.ch.Ch so the unpickler's shim path triggers."""
+
+    pass
+
+
+_FakeCh.__module__ = "chumpy.ch"
+_FakeCh.__qualname__ = "Ch"
+_FakeCh.__name__ = "Ch"
+
+# pickle verifies the class module is importable at DUMP time; register a
+# stand-in chumpy so the fixture can write chumpy-tagged pickles without the
+# real package (which this environment deliberately lacks).
+import sys
+import types
+
+_chumpy = types.ModuleType("chumpy")
+_chumpy_ch = types.ModuleType("chumpy.ch")
+_chumpy_ch.Ch = _FakeCh
+_chumpy.ch = _chumpy_ch
+sys.modules.setdefault("chumpy", _chumpy)
+sys.modules.setdefault("chumpy.ch", _chumpy_ch)
+
+
+def _chumpy_wrap(arr):
+    obj = _FakeCh()
+    obj.__dict__["x"] = np.asarray(arr)
+    return obj
+
+
+@pytest.fixture(scope="module")
+def data_dir(tmp_path_factory):
+    """A reference-layout data dir built from the synthetic asset bundle,
+    stored in the ORIGINAL formats (chumpy pkl, sparse matrices, npz)."""
+    import scipy.sparse
+
+    src = synthetic_smpl_assets()
+    root = tmp_path_factory.mktemp("data")
+    (root / "smpl").mkdir()
+
+    n_verts = src.v_template.shape[0]
+    posedirs_orig = src.posedirs.T.reshape(n_verts, 3, 207)  # pkl layout
+    pkl = {
+        "v_template": _chumpy_wrap(src.v_template),
+        "shapedirs": _chumpy_wrap(src.shapedirs),
+        "posedirs": _chumpy_wrap(posedirs_orig),
+        "J_regressor": scipy.sparse.csc_matrix(src.j_regressor),  # sparse!
+        "weights": _chumpy_wrap(src.lbs_weights),
+        "f": src.faces.astype(np.uint32),
+        "kintree_table": np.stack([src.parents, np.arange(24)]),
+    }
+    with open(root / "smpl" / "SMPL_NEUTRAL.pkl", "wb") as f:
+        pickle.dump(pkl, f)
+
+    np.savez(
+        root / "smpl_mean_params.npz",
+        pose=src.mean_pose_rot6d.reshape(-1).astype(np.float64),
+        shape=src.mean_shape.astype(np.float64),
+        cam=src.mean_cam.astype(np.float64),
+    )
+    d_arr = np.empty(2, object)
+    d_arr[0] = scipy.sparse.coo_matrix(src.dmap0)
+    d_arr[1] = scipy.sparse.coo_matrix(src.dmap1)
+    np.savez(
+        root / "mesh_downsampling.npz",
+        D=d_arr, A=np.empty(0, object), U=np.empty(0, object),
+    )
+    np.save(root / "smpl" / "smpl_ssm.npy", src.ssm.reshape(1, 1, -1))
+    np.save(root / "J_regressor_h36m.npy", src.j_regressor_h36m)
+    np.save(root / "J_regressor_extra.npy", src.j_regressor_extra)
+    return root, src
+
+
+class TestLoadSmplAssets:
+    def test_roundtrip_matches_source(self, data_dir):
+        root, src = data_dir
+        loaded = load_smpl_assets(str(root))
+        np.testing.assert_allclose(loaded.v_template, src.v_template, atol=1e-6)
+        np.testing.assert_allclose(loaded.shapedirs, src.shapedirs, atol=1e-6)
+        np.testing.assert_allclose(loaded.posedirs, src.posedirs, atol=1e-6)
+        np.testing.assert_allclose(loaded.j_regressor, src.j_regressor, atol=1e-6)
+        np.testing.assert_allclose(loaded.lbs_weights, src.lbs_weights, atol=1e-6)
+        np.testing.assert_array_equal(loaded.faces, src.faces)
+        np.testing.assert_allclose(loaded.dmap0, src.dmap0, atol=1e-6)
+        np.testing.assert_allclose(loaded.dmap1, src.dmap1, atol=1e-6)
+        np.testing.assert_array_equal(loaded.ssm, src.ssm)
+        np.testing.assert_allclose(
+            loaded.mean_pose_rot6d, src.mean_pose_rot6d, atol=1e-6
+        )
+
+    def test_loaded_assets_run_smpl_forward(self, data_dir):
+        import jax.numpy as jnp
+
+        from whmr_tpu.models.smpl import smpl_forward, smpl_params_from_assets
+
+        root, _ = data_dir
+        params = smpl_params_from_assets(load_smpl_assets(str(root)))
+        betas = jnp.zeros((2, 10))
+        rotmats = jnp.broadcast_to(jnp.eye(3), (2, 24, 3, 3))
+        out = smpl_forward(params, betas, rotmats)
+        assert np.isfinite(np.asarray(out.vertices)).all()
+        assert out.joints.shape[1] == 49
+
+    def test_get_assets_dispatch(self, data_dir):
+        from whmr_tpu.data.assets import get_assets
+
+        root, src = data_dir
+        loaded = get_assets(str(root))
+        np.testing.assert_allclose(loaded.v_template, src.v_template, atol=1e-6)
+
+
+class TestDensePoseMat:
+    def test_build_render_consts_from_mat(self, tmp_path):
+        import scipy.io
+
+        from whmr_tpu.training.gt_renderer import build_render_consts
+
+        assets = synthetic_smpl_assets()
+        v = assets.v_template.shape[0]
+        rng = np.random.RandomState(0)
+        # DensePose-style: 10 dp-verts mapped onto SMPL verts, 4 faces
+        n_dp, n_f = 10, 4
+        all_vertices = rng.choice(v, n_dp, replace=False) + 1  # 1-based
+        faces = rng.randint(1, n_dp + 1, (n_f, 3))             # 1-based
+        part = rng.randint(1, 25, n_f)
+        u = rng.uniform(0, 1, n_dp)
+        vv = rng.uniform(0, 1, n_dp)
+        mat = str(tmp_path / "UV_Processed.mat")
+        scipy.io.savemat(
+            mat,
+            {
+                "All_vertices": all_vertices.reshape(1, -1),
+                "All_FaceIndices": part.reshape(-1, 1),
+                "All_U_norm": u.reshape(-1, 1),
+                "All_V_norm": vv.reshape(-1, 1),
+                "All_Faces": faces,
+            },
+        )
+        consts = build_render_consts(assets, densepose_mat=mat)
+        iuv = np.asarray(consts.vertex_iuv)
+        assert iuv.shape == (v, 3)
+        assert np.isfinite(iuv).all()
+        # the last-written corner wins: check one touched vertex exactly
+        f_idx, k = n_f - 1, 2
+        dp_v = faces[f_idx, k] - 1
+        sm_v = all_vertices[dp_v] - 1
+        np.testing.assert_allclose(iuv[sm_v, 0], part[f_idx] / 24.0, atol=1e-6)
+        np.testing.assert_allclose(iuv[sm_v, 1], u[dp_v], atol=1e-6)
+        np.testing.assert_allclose(iuv[sm_v, 2], vv[dp_v], atol=1e-6)
+        # untouched vertices stay zero
+        touched = set((all_vertices[faces.reshape(-1) - 1] - 1).tolist())
+        untouched = next(i for i in range(v) if i not in touched)
+        np.testing.assert_array_equal(iuv[untouched], 0)

@@ -30,6 +30,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--img_dir", required=True)
     p.add_argument("--dataset", default="custom",
                    help="protocol name (3dpw, h36m-p2, mpi-inf-3dhp, lsp, ...)")
+    p.add_argument("--regressor", default="pymaf_net",
+                   choices=("pymaf_net", "hmr"),
+                   help="model family (reference eval.py:52)")
     p.add_argument("--data_dir", default=None, help="asset dir")
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--log_freq", type=int, default=10)
@@ -65,15 +68,30 @@ def load_model_state(args, cfg):
 
     assets = get_assets(args.data_dir)
     consts = body_consts_from_assets(assets)
-    model = WHMR(cfg)
-    example = make_example_inputs(cfg, 2)
-    state = create_train_state(
-        cfg, model, consts, jax.random.PRNGKey(0),
-        {k: jnp.asarray(v) for k, v in example.items()},
-    )
-    ckpt = CheckpointManager(args.checkpoint)
-    payload = ckpt.restore(
-        template={
+    if getattr(args, "regressor", "pymaf_net") == "hmr":
+        from whmr_tpu.models.hmr import HMR
+
+        model = HMR()
+        example = make_example_inputs(cfg, 2)
+        variables0 = jax.jit(
+            lambda c, x: model.init(
+                {"params": jax.random.PRNGKey(0),
+                 "dropout": jax.random.PRNGKey(1)},
+                c, x, train=False,
+            )
+        )(consts, jnp.asarray(example["x"]))
+        template = {
+            "params": variables0["params"],
+            "batch_stats": variables0.get("batch_stats", {}),
+        }
+    else:
+        model = WHMR(cfg)
+        example = make_example_inputs(cfg, 2)
+        state = create_train_state(
+            cfg, model, consts, jax.random.PRNGKey(0),
+            {k: jnp.asarray(v) for k, v in example.items()},
+        )
+        template = {
             "params": state.params,
             "batch_stats": state.batch_stats,
             "opt_state": state.opt_state,
@@ -81,7 +99,8 @@ def load_model_state(args, cfg):
             "epoch": 0,
             "batch_idx": 0,
         }
-    )
+    ckpt = CheckpointManager(args.checkpoint)
+    payload = ckpt.restore(template=template)
     if payload is None:
         raise SystemExit(f"no checkpoint found in {args.checkpoint}")
     variables = {"params": payload["params"], "batch_stats": payload["batch_stats"]}
@@ -159,7 +178,7 @@ def main(argv=None):
     result = run_evaluation(
         cfg, model, variables, consts, batches(), log_every=args.log_freq,
         gendered_smpl=gendered_smpl, joint_mapper=joint_mapper,
-        result_file=args.result_file,
+        result_file=args.result_file, regressor=args.regressor,
     )
     print(
         f"*** Final Results ***\nPVE: {result['pve']:.2f}\n"

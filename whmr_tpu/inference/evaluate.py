@@ -53,10 +53,11 @@ class EvalMetrics:
 
 def make_eval_step(
     cfg: WHMRConfig,
-    model: WHMR,
+    model,
     gendered_smpl=None,
     joint_mapper: str = "j14",
     save_arrays: bool = False,
+    regressor: str = "pymaf_net",
 ):
     """Jitted eval step: batch -> ((sum_mpjpe, sum_pa, sum_pve, n), extras).
 
@@ -81,19 +82,33 @@ def make_eval_step(
     mapper = H36M_TO_J17 if joint_mapper == "j17" else H36M_TO_J14
 
     def step(variables, consts: BodyConsts, batch):
-        preds = model.apply(
-            variables,
-            consts,
-            batch["img"],
-            batch["center"],
-            batch["scale"],
-            batch["bbox_height"],
-            batch["orig_shape"],
-            batch["bbox_info"],
-            train=False,
-            cam_rotmat=batch.get("cam_rotmat"),
-        )
-        pred_verts = preds["global_output"]["global_verts"]
+        if regressor == "hmr":
+            # HMR baseline (reference eval.py:174-176): camera-frame mesh
+            # straight from (rotmat, betas).
+            rotmat, betas, _cam = model.apply(
+                variables, consts, batch["img"], train=False
+            )
+            pred_verts = smpl_forward(consts.smpl, betas, rotmat).vertices
+            last_params = {
+                "pose": jnp.zeros((rotmat.shape[0], 72)),
+                "pred_shape": betas,
+                "pred_cam": _cam,
+            }
+        else:
+            preds = model.apply(
+                variables,
+                consts,
+                batch["img"],
+                batch["center"],
+                batch["scale"],
+                batch["bbox_height"],
+                batch["orig_shape"],
+                batch["bbox_info"],
+                train=False,
+                cam_rotmat=batch.get("cam_rotmat"),
+            )
+            pred_verts = preds["global_output"]["global_verts"]
+            last_params = preds["smpl_out"][-1]
         pred_j = select_h36m_joints(consts.j_regressor_h36m, pred_verts, mapper)
 
         # GT: either direct vertices (3dpw gendered) or pose/betas. The
@@ -130,7 +145,6 @@ def make_eval_step(
         )
         extras = None
         if save_arrays:
-            last = preds["smpl_out"][-1]
             from whmr_tpu.models.smpl import vertices2joints
 
             extras = {
@@ -138,9 +152,9 @@ def make_eval_step(
                 "pred": pred_j,
                 "pred_pa": aligned,
                 "gt": gt_j,
-                "pose": last["pose"],
-                "betas": last["pred_shape"],
-                "camera": last["pred_cam"],
+                "pose": last_params["pose"],
+                "betas": last_params["pred_shape"],
+                "camera": last_params["pred_cam"],
                 "valid": valid,
             }
         return sums, extras
@@ -165,15 +179,17 @@ def run_evaluation(
     gendered_smpl=None,
     joint_mapper: str = "j14",
     result_file: str = None,
+    regressor: str = "pymaf_net",
 ) -> Dict[str, float]:
     """Drive the eval loop over an iterable of device-ready batches.
 
     result_file: path to dump per-sample prediction arrays as npz
     (reference eval.py:312-319 npz + mat dump).
+    regressor: 'pymaf_net' (WHMR) or 'hmr' baseline (eval.py:52,174-176).
     """
     step = make_eval_step(
         cfg, model, gendered_smpl=gendered_smpl, joint_mapper=joint_mapper,
-        save_arrays=result_file is not None,
+        save_arrays=result_file is not None, regressor=regressor,
     )
     metrics = EvalMetrics()
     collected: Dict[str, list] = {}

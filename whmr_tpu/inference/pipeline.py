@@ -280,23 +280,29 @@ class DemoPipeline:
             with open(os.path.join(output_folder, f"{stem}.pkl"), "wb") as f:
                 pickle.dump(result, f)
             if render and n > 0:
+                # render_rotmat rides every view, matching the reference's
+                # camera pose (renderer_cam.py:108-110, render_image_group
+                # :173-215); side views add the checkerboard ground plane.
+                render_rotmat = result["render_rotmat"][0]
                 overlay = render_overlay(
                     img,
                     [result["verts"][i] for i in range(n)],
                     [result["pred_cam_t"][i] for i in range(n)],
                     self.assets.faces,
                     result["focal_length"][:n],
-                    cam_rotmat=None,
+                    cam_rotmat=render_rotmat,
                 )
                 side_local = render_side_view(
                     [result["verts"][i] for i in range(n)],
                     [result["pred_cam_t"][i] for i in range(n)],
                     self.assets.faces, 1000.0, (img.shape[0], img.shape[0]),
+                    rotmat=render_rotmat, ground=True,
                 )
                 side_world = render_side_view(
                     [result["verts_world"][i] for i in range(n)],
                     [result["pred_cam_t"][i] for i in range(n)],
                     self.assets.faces, 1000.0, (img.shape[0], img.shape[0]),
+                    rotmat=render_rotmat, ground=True,
                 )
                 panel = np.concatenate(
                     [overlay, side_local, side_world], axis=1

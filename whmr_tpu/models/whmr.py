@@ -43,7 +43,7 @@ from whmr_tpu.models.regressor import (
     Regressor,
     forward_init,
 )
-from whmr_tpu.models.resnet import CamCalibNet, ResNetBackbone
+from whmr_tpu.models.resnet import CamCalibNet, PoseResNetEncoder
 from whmr_tpu.models.smpl import smpl_forward, select_h36m_j14
 from whmr_tpu.models.vit import ViTBackbone
 from whmr_tpu.ops.camera import decode_cam_angles
@@ -79,7 +79,10 @@ class WHMR(nn.Module):
         if c.pymaf.backbone == "vitpose":
             self.feature_extractor = ViTBackbone(c.vit, dtype=self.dtype)
         else:
-            self.feature_extractor = ResNetBackbone(
+            # res50 mode mirrors the reference's COCO PoseResNet encoder
+            # (whmr.py:317, pose_resnet.py:287-305) — feature map only; the
+            # SPIN ResNetBackbone (hmr.py:57-161) stays the HMR baseline's.
+            self.feature_extractor = PoseResNetEncoder(
                 dtype=self.dtype, bn_axis_name=self.bn_axis_name
             )
 
@@ -203,10 +206,7 @@ class WHMR(nn.Module):
             render_rotmat = cam_rotmat
 
         # 2. Backbone spatial features.
-        if c.pymaf.backbone == "vitpose":
-            s_feat = self.feature_extractor(x, train=train)
-        else:
-            s_feat, _ = self.feature_extractor(x, train=train)
+        s_feat = self.feature_extractor(x, train=train)
 
         # 3. Mean-parameter init (whmr.py:550).
         smpl_output = forward_init(consts, batch_size, c.img_res, j_regressor)
@@ -340,10 +340,7 @@ class WHMR(nn.Module):
         ann-index logits (channel 0 = background).
         """
         assert self.cfg.pymaf.aux_supv_on, "dp_head not built"
-        if self.cfg.pymaf.backbone == "vitpose":
-            s_feat = self.feature_extractor(x, train=train)
-        else:
-            s_feat, _ = self.feature_extractor(x, train=train)
+        s_feat = self.feature_extractor(x, train=train)
         for i in range(self.cfg.pymaf.n_iter):
             s_feat = self.deconv_blocks[i](s_feat, train=train)
         return self.dp_head(s_feat)["predict_ann_index"]

@@ -46,15 +46,15 @@ def build_render_consts(assets: SMPLAssets, densepose_mat: Optional[str] = None)
         u_norm = dp["All_U_norm"].reshape(-1)
         v_norm = dp["All_V_norm"].reshape(-1)
         vert_iuv = np.zeros((v, 3), np.float32)
-        # faces' part indices -> spread onto their vertices
+        # faces' part indices -> spread onto their vertices; vectorized
+        # fancy assignment keeps the same last-write-wins order as a
+        # face-then-corner loop (rows are written in flattened face order)
         faces_dp = dp["All_Faces"].astype(np.int64) - 1
-        for f_idx in range(faces_dp.shape[0]):
-            for k in range(3):
-                dp_v = faces_dp[f_idx, k]
-                sm_v = all_vertices[dp_v]
-                vert_iuv[sm_v, 0] = part[f_idx] / 24.0
-                vert_iuv[sm_v, 1] = u_norm[dp_v]
-                vert_iuv[sm_v, 2] = v_norm[dp_v]
+        flat_dp = faces_dp.reshape(-1)             # (F*3,) densepose verts
+        sm = all_vertices[flat_dp]                 # their SMPL vertex ids
+        vert_iuv[sm, 0] = np.repeat(part, 3) / 24.0
+        vert_iuv[sm, 1] = u_norm[flat_dp]
+        vert_iuv[sm, 2] = v_norm[flat_dp]
     else:
         # Synthetic chart: part = argmax LBS weight (1..24), U/V from a
         # smooth per-part planar projection of the template.
