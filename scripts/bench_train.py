@@ -1,0 +1,174 @@
+"""Training-path microbench on the real TPU: GT render + full train step.
+
+Usage: python scripts/bench_train.py [render|step|all] [batch]
+
+Prints one JSON line per measurement. Methodology matches bench.py: K
+iterations chained inside one jit via a data-dependent carry, scalar
+readback for synchronization (the axon tunnel's block_until_ready is a
+no-op), params/consts passed as jit arguments.
+"""
+
+import json
+import sys
+import time
+
+
+def _timeit(fn, *args, iters, reps=3):
+    float(fn(*args))  # compile + warm
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        float(fn(*args))
+    return (time.perf_counter() - t0) / (reps * iters)
+
+
+def bench_render(batch: int):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import lax
+
+    from whmr_tpu.data.assets import synthetic_smpl_assets
+    from whmr_tpu.models.smpl import smpl_forward
+    from whmr_tpu.models.regressor import body_consts_from_assets
+    from whmr_tpu.ops.rasterizer import project_weak_perspective_to_pixels
+    from whmr_tpu.ops.rasterizer_pallas import rasterize_pallas, spatial_sort_faces
+    from whmr_tpu.training.gt_renderer import build_render_consts
+
+    assets = synthetic_smpl_assets()
+    consts = body_consts_from_assets(assets)
+    rng = np.random.RandomState(0)
+    pose = jnp.asarray((rng.randn(batch, 24, 3) * 0.2).astype(np.float32))
+    betas = jnp.asarray((rng.randn(batch, 10) * 0.5).astype(np.float32))
+    cam = jnp.asarray(
+        np.stack(
+            [
+                rng.uniform(0.7, 1.1, batch),
+                rng.uniform(-0.1, 0.1, batch),
+                rng.uniform(-0.1, 0.1, batch),
+            ],
+            axis=-1,
+        ).astype(np.float32)
+    )
+    rc = build_render_consts(assets)  # Morton-sorted faces
+    faces_unsorted = np.asarray(assets.faces)
+    iters = 20
+
+    def make_bench(faces, chunk, prep_only=False, tile_p=1024):
+        @jax.jit
+        def run(smpl_c, iuv, pose, betas, cam):
+            from whmr_tpu.ops.rotation import batch_rodrigues
+
+            rm = batch_rodrigues(pose.reshape(-1, 3)).reshape(-1, 24, 3, 3)
+            verts = smpl_forward(smpl_c, betas, rm).vertices
+            attrs = jnp.broadcast_to(iuv[None], (batch, *iuv.shape))
+
+            def body(i, carry):
+                vp, vz = project_weak_perspective_to_pixels(
+                    verts + (carry * 0), cam, (128, 128)
+                )
+                if prep_only:
+                    from whmr_tpu.ops.rasterizer import _face_chunks
+                    from whmr_tpu.ops.rasterizer_pallas import _face_tables
+
+                    fp = _face_chunks(faces, chunk).reshape(-1, 3)
+                    tabs = _face_tables(vp, vz, attrs, jnp.asarray(fp))
+                    return carry + sum(jnp.sum(t) for t in tabs[:3])
+                out = rasterize_pallas(
+                    vp, vz, attrs, faces, resolution=(128, 128), chunk=chunk,
+                    tile_p=tile_p,
+                )
+                return carry + jnp.sum(out.attrs)
+
+            return lax.fori_loop(0, iters, body, jnp.float32(0))
+
+        return run
+
+    fk = np.asarray(rc.faces)
+    # Sweep record (v5e, B=32, 128x128, KD-sorted): (tile_p, chunk) ->
+    # (1024,256) 44.1 / (512,512) 23.0 / (512,1024) 19.7 / (256,1024) 13.7 /
+    # (128,1024) 11.8 / (64,1024) 12.6 / (128,768) 11.9 ms; unsorted@default
+    # 45.9; prep-only (XLA face tables) 2.2 ms.
+    variants = [
+        ("kd_default", fk, 1024, False, 128),
+        ("unsorted_default", faces_unsorted, 1024, False, 128),
+        ("prep_only", fk, 1024, True, 128),
+    ]
+    for name, faces, chunk, prep, tp in variants:
+        dt = _timeit(
+            make_bench(faces, chunk, prep, tp), consts.smpl, rc.vertex_iuv, pose,
+            betas, cam, iters=iters,
+        )
+        print(json.dumps({
+            "metric": f"gt_render_ms_{name}", "value": round(dt * 1e3, 2),
+            "unit": "ms", "batch": batch,
+        }))
+
+
+def bench_step(batch: int, aux: bool):
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from dataclasses import replace
+
+    from whmr_tpu.config import WHMRConfig
+    from whmr_tpu.data.assets import synthetic_smpl_assets
+    from whmr_tpu.models.regressor import body_consts_from_assets
+    from whmr_tpu.models.whmr import WHMR
+    from whmr_tpu.training.gt_renderer import build_render_consts
+    from whmr_tpu.training.train_step import create_train_state, train_step
+    from whmr_tpu.utils.testing import make_example_train_batch, make_example_inputs
+
+    cfg = WHMRConfig()
+    cfg = replace(
+        cfg, pymaf=replace(cfg.pymaf, aux_supv_on=aux, depth_supv_on=aux)
+    )
+    assets = synthetic_smpl_assets()
+    consts = body_consts_from_assets(assets)
+    rc = build_render_consts(assets)
+    model = WHMR(cfg, dtype=jnp.bfloat16)
+    inp = make_example_inputs(cfg, batch)
+    state = create_train_state(
+        cfg, model, consts, jax.random.PRNGKey(0),
+        {k: jnp.asarray(v) for k, v in inp.items()},
+    )
+    batch_np = make_example_train_batch(cfg, batch)
+    batch_d = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    iters = 5
+
+    @jax.jit
+    def run(state, consts, batch, rng):
+        def body(i, carry):
+            st, tok = carry
+            b = dict(batch)
+            b["img"] = batch["img"] + (tok * 0).astype(batch["img"].dtype)
+            st, metrics = train_step(
+                cfg, model, st, consts, b, rng, render_consts=rc
+            )
+            return st, tok + metrics["loss"].astype(jnp.float32)
+
+        _, tok = lax.fori_loop(0, iters, body, (state, jnp.float32(0)))
+        return tok
+
+    dt = _timeit(run, state, consts, batch_d, jax.random.PRNGKey(1), iters=iters)
+    print(json.dumps({
+        "metric": f"train_step_ms_aux_{'on' if aux else 'off'}",
+        "value": round(dt * 1e3, 1), "unit": "ms", "batch": batch,
+        "crops_per_sec": round(batch / dt, 1),
+    }))
+
+
+def main():
+    from whmr_tpu.utils.profiling import enable_compile_cache
+
+    enable_compile_cache()
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    if which in ("render", "all"):
+        bench_render(batch)
+    if which in ("step", "all"):
+        bench_step(batch, aux=True)
+        bench_step(batch, aux=False)
+
+
+if __name__ == "__main__":
+    main()

@@ -6,7 +6,7 @@ import jax.numpy as jnp
 
 from whmr_tpu.data.assets import synthetic_smpl_assets
 from whmr_tpu.ops.rasterizer import project_weak_perspective_to_pixels, rasterize
-from whmr_tpu.ops.rasterizer_pallas import rasterize_pallas
+from whmr_tpu.ops.rasterizer_pallas import rasterize_pallas, spatial_sort_faces
 
 
 class TestPallasParity:
@@ -49,3 +49,30 @@ class TestPallasParity:
         # rare coincident-face tie swaps at silhouette boundaries; GT
         # supervision maps are insensitive at this scale.
         np.testing.assert_allclose(za, zb, rtol=5e-3)
+
+    def test_cull_corner_mesh_matches_xla(self, rng):
+        # Geometry confined to one image corner: most (tile, chunk) pairs
+        # must be culled, and the result must still equal the XLA path
+        # exactly (culling may only skip chunks that cover no pixel center).
+        verts = jnp.asarray(rng.uniform(1, 7, size=(2, 24, 2)).astype(np.float32))
+        z = jnp.asarray(rng.uniform(2, 8, size=(2, 24)).astype(np.float32))
+        attrs = jnp.asarray(rng.rand(2, 24, 2).astype(np.float32))
+        faces = rng.randint(0, 24, size=(20, 3)).astype(np.int32)
+        ref = rasterize(verts, z, attrs, faces, resolution=(32, 32), chunk=4)
+        out = rasterize_pallas(
+            verts, z, attrs, faces, resolution=(32, 32), chunk=4, tile_p=64,
+            tile_hw=(8, 8), interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(out.mask), np.asarray(ref.mask))
+        np.testing.assert_allclose(np.asarray(out.zbuf), np.asarray(ref.zbuf), rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(out.attrs), np.asarray(ref.attrs), atol=1e-4)
+
+    def test_spatial_sort_is_permutation(self):
+        assets = synthetic_smpl_assets()
+        faces = np.asarray(assets.faces)
+        sorted_faces = spatial_sort_faces(faces, np.asarray(assets.v_template))
+        assert sorted_faces.shape == faces.shape
+        # Same multiset of triangles (row-wise).
+        a = {tuple(r) for r in faces.tolist()}
+        b = {tuple(r) for r in sorted_faces.tolist()}
+        assert a == b

@@ -25,11 +25,12 @@ from whmr_tpu.ops.rasterizer import (
     project_weak_perspective_to_pixels,
     rasterize,
 )
+from whmr_tpu.ops.rasterizer_pallas import spatial_sort_faces
 
 
 class RenderConsts(NamedTuple):
     vertex_iuv: jnp.ndarray  # (V, 3): part_index/24, U, V
-    faces: np.ndarray        # (F, 3) static topology
+    faces: np.ndarray        # (F, 3) static topology, KD-sorted for cull
 
 
 def build_render_consts(assets: SMPLAssets, densepose_mat: Optional[str] = None) -> RenderConsts:
@@ -66,7 +67,10 @@ def build_render_consts(assets: SMPLAssets, densepose_mat: Optional[str] = None)
         vert_iuv = np.stack(
             [part.astype(np.float32) / 24.0, uv[:, 0], uv[:, 1]], axis=-1
         ).astype(np.float32)
-    return RenderConsts(vertex_iuv=jnp.asarray(vert_iuv), faces=assets.faces)
+    # KD-sort the topology once so every rasterizer face chunk is a
+    # compact surface patch -> small projected bbox -> tile culling bites.
+    faces_sorted = spatial_sort_faces(np.asarray(assets.faces), np.asarray(assets.v_template))
+    return RenderConsts(vertex_iuv=jnp.asarray(vert_iuv), faces=faces_sorted)
 
 
 def render_gt_maps(
