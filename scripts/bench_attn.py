@@ -1,0 +1,82 @@
+"""Attention-impl microbench: full ViT-B tower on the real TPU.
+
+Usage: python scripts/bench_attn.py [batch]
+
+Sweeps models/layers.Attention `impl` variants inside the real 12-block
+ViTBackbone (bf16, 256x192 -> 192 tokens) with one shared param tree —
+the impls differ only in the inner attention formulation, so params are
+interchangeable. Chained-in-jit timing (see bench.py methodology notes).
+
+MEASURED (v5e, B=48, ms per tower forward) — see CLAUDE.md round-2 notes.
+"""
+
+import json
+import sys
+import time
+
+from dataclasses import replace
+
+
+def main():
+    from whmr_tpu.utils.profiling import enable_compile_cache
+
+    enable_compile_cache()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import lax
+
+    from whmr_tpu.config import ViTConfig
+    from whmr_tpu.models.vit import ViTBackbone
+
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 48
+    iters = 20
+    cfg = ViTConfig()
+    x = jnp.asarray(
+        np.random.RandomState(0).randn(batch, *cfg.img_size, 3).astype(np.float32)
+    )
+
+    model0 = ViTBackbone(cfg, dtype=jnp.bfloat16)
+    variables = jax.jit(lambda xx: model0.init(jax.random.PRNGKey(0), xx))(x)
+
+    outs = {}
+    impls = sys.argv[2].split(",") if len(sys.argv) > 2 else (
+        "einsum", "bhnd", "xla_dpa", "pallas", "split", "bf16sm",
+    )
+    for impl in impls:
+        model = ViTBackbone(replace(cfg, attn_impl=impl), dtype=jnp.bfloat16)
+
+        @jax.jit
+        def chained(v, xx):
+            def body(i, carry):
+                out = model.apply(v, xx + (carry * 0).astype(xx.dtype))
+                return carry + jnp.sum(out.astype(jnp.float32))
+
+            return lax.fori_loop(0, iters, body, jnp.float32(0))
+
+        try:
+            ref = float(chained(variables, x))  # compile + warm
+        except Exception as e:  # record compile failures as data points
+            print(json.dumps({"metric": f"vit_tower_ms_{impl}", "error": str(e)[:200]}))
+            continue
+        t0 = time.perf_counter()
+        reps = 3
+        for _ in range(reps):
+            float(chained(variables, x))
+        dt = (time.perf_counter() - t0) / (reps * iters)
+        outs[impl] = ref / iters
+        print(json.dumps({
+            "metric": f"vit_tower_ms_{impl}", "value": round(dt * 1e3, 2),
+            "unit": "ms", "batch": batch,
+        }))
+
+    # Cross-impl numerical agreement (same params; bf16 tower, fp32 sums).
+    base = outs.get("einsum")
+    if base is not None:
+        for impl, s in outs.items():
+            rel = abs(s - base) / max(abs(base), 1e-9)
+            print(json.dumps({"metric": f"checksum_rel_{impl}", "value": float(rel)}))
+
+
+if __name__ == "__main__":
+    main()

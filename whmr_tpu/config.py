@@ -91,6 +91,10 @@ class ViTConfig:
     # for ViT-L/H training (SURVEY §7 step 10).
     remat: bool = False
 
+    # Inner attention formulation (models/layers.Attention.impl); v5e
+    # measurements in scripts/bench_attn.py.
+    attn_impl: str = "einsum"
+
     @property
     def grid_hw(self) -> Tuple[int, int]:
         h = (self.img_size[0] + 2 * self.patch_padding - self.patch_size) // self.patch_size + 1

@@ -14,6 +14,7 @@ from __future__ import annotations
 from typing import Any, Callable, Optional, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 Dtype = Any
@@ -133,11 +134,21 @@ class Attention(nn.Module):
     Sequence lengths in this model family are tiny (5-432 tokens) so a plain
     einsum softmax attention fuses well under XLA; no flash kernel needed
     (SURVEY.md §5 'long-context: not present and not needed').
+
+    `impl` selects the inner attention formulation (parity-tested against
+    each other in tests/test_attention_pallas.py; perf on v5e recorded in
+    scripts/bench_attn.py):
+    - "einsum": scores straight from the (B, N, H, D) qkv slices.
+    - "bhnd": transpose q/k/v to (B, H, N, D) first, then clean batched
+      matmuls — isolates layout cost from matmul cost.
+    - "xla_dpa": jax.nn.dot_product_attention (XLA's fused path).
+    - "pallas": head-batched fused kernel (ops/attention_pallas.py).
     """
 
     num_heads: int
     qkv_bias: bool = True
     dtype: Dtype = jnp.float32
+    impl: str = "einsum"
 
     @nn.compact
     def __call__(self, x):
@@ -145,11 +156,46 @@ class Attention(nn.Module):
         head_dim = c // self.num_heads
         scale = head_dim**-0.5
         qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
+        if self.impl in ("split", "bf16sm"):
+            # Contiguous-lane split of the fused qkv projection (same
+            # element order as the 5D reshape: 3 outer, then H, then D).
+            q = qkv[..., :c].reshape(b, n, self.num_heads, head_dim)
+            k = qkv[..., c:2 * c].reshape(b, n, self.num_heads, head_dim)
+            v = qkv[..., 2 * c:].reshape(b, n, self.num_heads, head_dim)
+            attn = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k)
+            if self.impl == "split":
+                attn = nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
+            else:
+                attn = nn.softmax(attn, axis=-1)  # compute-dtype softmax
+            out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(b, n, c)
+            return nn.Dense(c, dtype=self.dtype, name="proj")(out)
         qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, D)
-        attn = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k)
-        attn = nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
-        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(b, n, c)
+        if self.impl == "einsum":
+            attn = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k)
+            attn = nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
+            out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(b, n, c)
+        elif self.impl in ("bhnd", "bhnd_bf16sm"):
+            qt, kt, vt = (jnp.swapaxes(t, 1, 2) for t in (q, k, v))
+            attn = jnp.einsum("bhnd,bhmd->bhnm", qt * scale, kt)
+            if self.impl == "bhnd":
+                attn = nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
+            else:
+                attn = nn.softmax(attn, axis=-1)  # compute-dtype softmax
+            out = jnp.einsum("bhnm,bhmd->bhnd", attn, vt)
+            out = jnp.swapaxes(out, 1, 2).reshape(b, n, c)
+        elif self.impl == "xla_dpa":
+            out = jax.nn.dot_product_attention(q, k, v).reshape(b, n, c)
+        elif self.impl == "pallas":
+            from whmr_tpu.ops.attention_pallas import fused_attention_heads
+
+            qt, kt, vt = (jnp.swapaxes(t, 1, 2) for t in (q, k, v))
+            out = fused_attention_heads(
+                qt, kt, vt, interpret=jax.default_backend() == "cpu"
+            )
+            out = jnp.swapaxes(out, 1, 2).reshape(b, n, c)
+        else:
+            raise ValueError(f"unknown attention impl {self.impl!r}")
         return nn.Dense(c, dtype=self.dtype, name="proj")(out)
 
 

@@ -49,12 +49,16 @@ class ViTBlock(nn.Module):
     qkv_bias: bool
     drop_path: float
     dtype: Any = jnp.float32
+    attn_impl: str = "einsum"
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         c = x.shape[-1]
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
-        y = Attention(self.num_heads, self.qkv_bias, dtype=self.dtype, name="attn")(y)
+        y = Attention(
+            self.num_heads, self.qkv_bias, dtype=self.dtype,
+            impl=self.attn_impl, name="attn",
+        )(y)
         x = x + DropPath(self.drop_path)(y, deterministic)
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
         y = MLP(int(c * self.mlp_ratio), c, dtype=self.dtype, name="mlp")(y)
@@ -106,6 +110,7 @@ class ViTBackbone(nn.Module):
                 qkv_bias=c.qkv_bias,
                 drop_path=drop_rates[i],
                 dtype=self.dtype,
+                attn_impl=c.attn_impl,
                 name=f"block{i}",
             )(x, not train)
 
