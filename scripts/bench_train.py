@@ -104,7 +104,7 @@ def bench_render(batch: int):
         }))
 
 
-def bench_step(batch: int, aux: bool):
+def bench_step(batch: int, aux: bool, depth: bool | None = None, tag: str = ""):
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -120,7 +120,11 @@ def bench_step(batch: int, aux: bool):
 
     cfg = WHMRConfig()
     cfg = replace(
-        cfg, pymaf=replace(cfg.pymaf, aux_supv_on=aux, depth_supv_on=aux)
+        cfg,
+        pymaf=replace(
+            cfg.pymaf, aux_supv_on=aux,
+            depth_supv_on=aux if depth is None else depth,
+        ),
     )
     assets = synthetic_smpl_assets()
     consts = body_consts_from_assets(assets)
@@ -150,11 +154,174 @@ def bench_step(batch: int, aux: bool):
         return tok
 
     dt = _timeit(run, state, consts, batch_d, jax.random.PRNGKey(1), iters=iters)
+    name = tag or f"aux_{'on' if aux else 'off'}"
     print(json.dumps({
-        "metric": f"train_step_ms_aux_{'on' if aux else 'off'}",
+        "metric": f"train_step_ms_{name}",
         "value": round(dt * 1e3, 1), "unit": "ms", "batch": batch,
         "crops_per_sec": round(batch / dt, 1),
     }))
+
+
+def bench_bisect(batch: int):
+    """Forward-only vs forward+loss vs full step, aux on/off: locates where
+    the aux-supervision train-step cost lives (fwd / loss / backward)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from dataclasses import replace
+    import functools
+
+    from whmr_tpu.config import WHMRConfig
+    from whmr_tpu.data.assets import synthetic_smpl_assets
+    from whmr_tpu.models.regressor import body_consts_from_assets
+    from whmr_tpu.models.whmr import WHMR
+    from whmr_tpu.training.gt_renderer import build_render_consts
+    from whmr_tpu.training.train_step import create_train_state
+    from whmr_tpu.utils.testing import make_example_train_batch, make_example_inputs
+
+    assets = synthetic_smpl_assets()
+    consts = body_consts_from_assets(assets)
+    rc = build_render_consts(assets)
+    batch_np = make_example_train_batch(WHMRConfig(), batch)
+    batch_d = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    iters = 10
+
+    for aux in (False, True):
+        cfg = replace(
+            WHMRConfig(),
+            pymaf=replace(WHMRConfig().pymaf, aux_supv_on=aux, depth_supv_on=aux),
+        )
+        model = WHMR(cfg, dtype=jnp.bfloat16)
+        inp = make_example_inputs(cfg, batch)
+        state = create_train_state(
+            cfg, model, consts, jax.random.PRNGKey(0),
+            {k: jnp.asarray(v) for k, v in inp.items()},
+        )
+
+        def fwd_loss(params, stats, consts, b, rng, with_loss):
+            from whmr_tpu.models.smpl import smpl_forward
+            from whmr_tpu.ops.rotation import batch_rodrigues
+            from whmr_tpu.training.losses import whmr_loss
+
+            variables = {"params": params, "batch_stats": stats}
+            preds, _ = model.apply(
+                variables, consts, b["img"], b["center"], b["scale"],
+                b["bbox_height"], b["orig_shape"], b["bbox_info"], train=True,
+                meta_masks=b.get("meta_mask"), rngs={"dropout": rng},
+                mutable=["batch_stats"],
+            )
+            if not with_loss:
+                return sum(
+                    jnp.sum(s["verts"].astype(jnp.float32)) for s in preds["smpl_out"]
+                )
+            gt_rotmats = batch_rodrigues(b["pose"].reshape(-1, 3)).reshape(-1, 24, 3, 3)
+            gt_out = smpl_forward(consts.smpl, b["betas"], gt_rotmats)
+            gt_vertices = gt_out.vertices
+            gt_sub = jnp.einsum("sv,bvk->bsk", consts.dmap0, gt_vertices)
+            gt_temp = jnp.einsum("ts,bsk->btk", consts.dmap1, gt_sub)
+            uvia_gt = depth_gt = None
+            if aux:
+                from whmr_tpu.config import FOCAL_LENGTH
+                from whmr_tpu.ops.camera import estimate_translation
+                from whmr_tpu.ops.iuv import iuv_img2map
+                from whmr_tpu.training.gt_renderer import (
+                    gt_camera_from_cam_t, render_gt_maps,
+                )
+
+                w, h = cfg.img_res
+                kp_orig = b["keypoints"].at[..., :2].set(
+                    0.5 * h * (b["keypoints"][..., :2] + 1.0)
+                )
+                t = estimate_translation(gt_out.joints, kp_orig, FOCAL_LENGTH, (float(w), float(h)))
+                maps = render_gt_maps(
+                    rc, gt_vertices, gt_camera_from_cam_t(t),
+                    heatmap_size=cfg.pymaf.dp_heatmap_size,
+                    vitpose_slice=True, with_depth=True, valid=b["has_smpl"],
+                )
+                uvia_gt = iuv_img2map(maps["iuv_image_gt"])
+                depth_gt = maps["depth_image_gt"]
+            losses = whmr_loss(cfg, preds, b, gt_vertices, gt_sub, gt_temp,
+                               uvia_gt=uvia_gt, depth_gt=depth_gt)
+            return losses["loss"]
+
+        for with_loss in (False, True):
+            @jax.jit
+            def run(params, stats, consts, b, rng):
+                def body(i, carry):
+                    bb = dict(b)
+                    bb["img"] = b["img"] + (carry * 0).astype(b["img"].dtype)
+                    return carry + fwd_loss(params, stats, consts, bb, rng, with_loss)
+
+                return lax.fori_loop(0, iters, body, jnp.float32(0))
+
+            dt = _timeit(
+                run, state.params, state.batch_stats, consts, batch_d,
+                jax.random.PRNGKey(1), iters=iters,
+            )
+            tag = f"{'fwdloss' if with_loss else 'fwd'}_aux_{'on' if aux else 'off'}"
+            print(json.dumps({
+                "metric": f"bisect_ms_{tag}", "value": round(dt * 1e3, 1),
+                "unit": "ms", "batch": batch,
+            }))
+
+
+def bench_parts(batch: int):
+    """Isolated costs of the aux-supervision pieces around the render."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import lax
+
+    from whmr_tpu.data.assets import synthetic_smpl_assets
+    from whmr_tpu.models.regressor import body_consts_from_assets
+    from whmr_tpu.models.smpl import smpl_forward
+    from whmr_tpu.ops.camera import estimate_translation
+    from whmr_tpu.ops.iuv import iuv_img2map
+    from whmr_tpu.ops.rotation import batch_rodrigues
+
+    assets = synthetic_smpl_assets()
+    consts = body_consts_from_assets(assets)
+    rng = np.random.RandomState(0)
+    pose = jnp.asarray((rng.randn(batch, 72) * 0.2).astype(np.float32))
+    betas = jnp.asarray((rng.randn(batch, 10) * 0.5).astype(np.float32))
+    kp = jnp.asarray(
+        np.concatenate(
+            [rng.uniform(0, 256, (batch, 49, 2)), np.ones((batch, 49, 1))], -1
+        ).astype(np.float32)
+    )
+    iuv_img = jnp.asarray(rng.rand(batch, 128, 96, 3).astype(np.float32))
+    iters = 50
+
+    @jax.jit
+    def lsq(smpl_c, pose, betas, kp):
+        rm = batch_rodrigues(pose.reshape(-1, 3)).reshape(-1, 24, 3, 3)
+        joints = smpl_forward(smpl_c, betas, rm).joints
+
+        def body(i, carry):
+            t = estimate_translation(
+                joints + carry * 0, kp, 1000.0, (256.0, 256.0)
+            )
+            return carry + jnp.sum(t)
+
+        return lax.fori_loop(0, iters, body, jnp.float32(0))
+
+    @jax.jit
+    def encode(img):
+        def body(i, carry):
+            m = iuv_img2map(img + carry * 0)
+            return carry + sum(jnp.sum(v) for v in m.values())
+
+        return lax.fori_loop(0, iters, body, jnp.float32(0))
+
+    for name, fn, args in (
+        ("lsq_translation", lsq, (consts.smpl, pose, betas, kp)),
+        ("iuv_img2map", encode, (iuv_img,)),
+    ):
+        dt = _timeit(fn, *args, iters=iters)
+        print(json.dumps({
+            "metric": f"part_ms_{name}", "value": round(dt * 1e3, 2),
+            "unit": "ms", "batch": batch,
+        }))
 
 
 def main():
@@ -168,6 +335,13 @@ def main():
     if which in ("step", "all"):
         bench_step(batch, aux=True)
         bench_step(batch, aux=False)
+    if which == "ablate":
+        bench_step(batch, aux=True, depth=False, tag="iuv_only")
+        bench_step(batch, aux=False, depth=True, tag="depth_only")
+    if which == "parts":
+        bench_parts(batch)
+    if which == "bisect":
+        bench_bisect(batch)
 
 
 if __name__ == "__main__":
