@@ -136,6 +136,39 @@ def bench_step(batch: int, aux: bool, depth: bool | None = None, tag: str = ""):
         {k: jnp.asarray(v) for k, v in inp.items()},
     )
     batch_np = make_example_train_batch(cfg, batch)
+    # Replace the random 2D keypoints with geometrically-consistent ones
+    # (GT joints projected through a plausible crop camera): the GT-camera
+    # LSQ then recovers a sane body-sized projection, which is what real
+    # training data gives the rasterizer's tile culling. Random keypoints
+    # produce degenerate cameras that defeat culling (measured 38 ms vs
+    # 12 ms GT render).
+    import numpy as np
+    from whmr_tpu.config import FOCAL_LENGTH
+    from whmr_tpu.models.smpl import smpl_forward
+    from whmr_tpu.ops.rotation import batch_rodrigues
+
+    @jax.jit
+    def gt_joints(smpl_c, pose, betas):
+        rm = batch_rodrigues(pose.reshape(-1, 3)).reshape(-1, 24, 3, 3)
+        return smpl_forward(smpl_c, betas, rm).joints
+
+    joints = np.asarray(
+        gt_joints(consts.smpl, jnp.asarray(batch_np["pose"]), jnp.asarray(batch_np["betas"]))
+    )
+    rng_np = np.random.RandomState(7)
+    s = rng_np.uniform(0.7, 1.1, (batch, 1, 1))
+    t = np.concatenate(
+        [
+            rng_np.uniform(-0.1, 0.1, (batch, 1, 2)),
+            2.0 * FOCAL_LENGTH / (256.0 * s),
+        ],
+        axis=-1,
+    )
+    pj = joints + t
+    pix = FOCAL_LENGTH * pj[..., :2] / pj[..., 2:3] + 128.0
+    batch_np["keypoints"] = np.concatenate(
+        [2.0 * pix / 256.0 - 1.0, np.ones((batch, joints.shape[1], 1))], -1
+    ).astype(np.float32)
     batch_d = {k: jnp.asarray(v) for k, v in batch_np.items()}
     iters = 5
 
