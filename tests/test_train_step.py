@@ -108,6 +108,37 @@ class TestMeshSharding:
         new_state, metrics = step_fn(state, consts, batch, jax.random.PRNGKey(1))
         assert np.isfinite(float(metrics["loss"]))
 
+    def test_fsdp_shards_params_and_matches_dp(self):
+        """ZeRO-3-style FSDP: large params shard over 'data', the step runs,
+        and the loss matches plain DP (sharding must not change the math)."""
+        cfg = tiny_config()
+        model, state, consts, batch = setup_state(cfg, batch=8)
+        mesh = make_mesh()
+        batch_sh = jax.device_put(batch, batch_sharding(mesh))
+
+        dp_state = state.replace(params=shard_params(state.params, mesh))
+        step = make_jitted_train_step(cfg, model, mesh=mesh, donate=False)
+        _, m_dp = step(dp_state, consts, batch_sh, jax.random.PRNGKey(1))
+
+        sharded = shard_params(state.params, mesh, fsdp=True, fsdp_min_size=1 << 10)
+        # At least one kernel must actually be split over 'data'.
+        specs = [
+            leaf.sharding.spec
+            for leaf in jax.tree.leaves(sharded)
+            if hasattr(leaf, "sharding")
+        ]
+        assert any("data" in str(s) for s in specs), specs
+        from whmr_tpu.parallel import shard_opt_state
+
+        fsdp_state = state.replace(
+            params=sharded,
+            opt_state=shard_opt_state(state.opt_state, sharded, mesh),
+        )
+        _, m_fsdp = step(fsdp_state, consts, batch_sh, jax.random.PRNGKey(1))
+        np.testing.assert_allclose(
+            float(m_dp["loss"]), float(m_fsdp["loss"]), rtol=1e-4
+        )
+
     def test_dp_matches_single_device(self):
         """Sharded step must produce the same loss as unsharded (same math)."""
         cfg = tiny_config()

@@ -12,5 +12,6 @@ from whmr_tpu.parallel.mesh import (  # noqa: F401
     batch_sharding,
     make_mesh,
     replicated,
+    shard_opt_state,
     shard_params,
 )

@@ -66,6 +66,25 @@ _TP_RULES = [
 ]
 
 
+def _fsdp_spec(shape, data_size: int, base: P, min_size: int) -> P:
+    """ZeRO-3-style spec: shard the largest still-free dim over 'data'.
+
+    Applied on top of a TP spec (`base`): dims already split over 'model'
+    stay split; the largest unsharded dim that divides the data-axis size
+    takes 'data'. Small tensors (biases, norms, < min_size elements) stay
+    replicated — gathering them per-layer costs more than storing them.
+    """
+    if int(np.prod(shape)) < min_size or data_size <= 1:
+        return base
+    taken = list(base) + [None] * (len(shape) - len(base))
+    order = sorted(range(len(shape)), key=lambda d: -shape[d])
+    for d in order:
+        if taken[d] is None and shape[d] % data_size == 0:
+            taken[d] = "data"
+            return P(*taken)
+    return base
+
+
 def _spec_for(path: str, ndim: int, use_tp: bool) -> P:
     if use_tp:
         for rx, builder in _TP_RULES:
@@ -74,16 +93,25 @@ def _spec_for(path: str, ndim: int, use_tp: bool) -> P:
     return P()
 
 
-def shard_params(params, mesh: Mesh, use_tp: Optional[bool] = None):
+def shard_params(
+    params,
+    mesh: Mesh,
+    use_tp: Optional[bool] = None,
+    fsdp: bool = False,
+    fsdp_min_size: int = 1 << 16,
+):
     """Apply sharding rules to a param/variable pytree.
 
     With use_tp (default: mesh has a >1 'model' axis), transformer block
-    weights split over 'model'; everything else is replicated.
+    weights split over 'model'; everything else is replicated. With `fsdp`,
+    remaining large tensors additionally shard over 'data' (ZeRO-3
+    equivalent — net-new vs the reference, which only has DDP): GSPMD
+    inserts the per-layer all-gather in fwd/bwd and the gradient
+    reduce-scatter, so optimizer state and master params are distributed.
     """
     if use_tp is None:
         use_tp = mesh.shape.get("model", 1) > 1
-
-    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    data_size = mesh.shape.get("data", 1)
 
     def path_str(kp):
         return "/".join(
@@ -91,10 +119,53 @@ def shard_params(params, mesh: Mesh, use_tp: Optional[bool] = None):
         )
 
     def place(kp, leaf):
-        spec = _spec_for(path_str(kp), getattr(leaf, "ndim", 0), use_tp)
+        ndim = getattr(leaf, "ndim", 0)
+        spec = _spec_for(path_str(kp), ndim, use_tp)
+        if fsdp:
+            spec = _fsdp_spec(getattr(leaf, "shape", ()), data_size, spec,
+                              fsdp_min_size)
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map_with_path(place, params)
+
+
+def shard_opt_state(opt_state, params, mesh: Mesh):
+    """Place optimizer state on the mesh, mirroring the param shardings.
+
+    Optax states (e.g. adam's mu/nu) are pytrees with the params' structure;
+    those subtrees take each param's sharding (so FSDP/TP-sharded params get
+    matching sharded moments — the ZeRO optimizer-state distribution).
+    Everything else (step counts, scalars) is replicated. Without this, a
+    plain `jit(tx.init)` commits scalars to one device, which conflicts with
+    mesh-committed state in the jitted train step.
+    """
+    rep = NamedSharding(mesh, P())
+    pdef = jax.tree_util.tree_structure(params)
+
+    def like_params(node):
+        return jax.tree_util.tree_map(
+            lambda t, x: jax.device_put(x, t.sharding)
+            if hasattr(t, "sharding") else x,
+            params, node,
+        )
+
+    def rec(node):
+        try:
+            if jax.tree_util.tree_structure(node) == pdef:
+                return like_params(node)
+        except Exception:
+            pass
+        if hasattr(node, "_fields"):  # NamedTuple optax states
+            return type(node)(*(rec(c) for c in node))
+        if isinstance(node, (tuple, list)):
+            return type(node)(rec(c) for c in node)
+        if isinstance(node, dict):
+            return {k: rec(v) for k, v in node.items()}
+        if hasattr(node, "shape"):
+            return jax.device_put(node, rep)
+        return node
+
+    return rec(opt_state)
 
 
 def init_distributed(coordinator_address: Optional[str] = None,

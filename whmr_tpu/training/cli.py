@@ -26,6 +26,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="also checkpoint every N batches (mid-epoch resume)")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--model_parallel", type=int, default=1)
+    p.add_argument("--fsdp", action="store_true",
+                   help="ZeRO-3-style param/optimizer sharding over the data axis")
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute")
     p.add_argument("--misc", nargs="*", default=[],
                    help="dotted config overrides: key value [key value ...]")
@@ -75,6 +77,7 @@ def main(argv=None):
         model_parallel=args.model_parallel,
         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
         steps_per_epoch=steps_per_epoch,
+        fsdp=args.fsdp,
     )
     if args.resume and trainer.resume():
         print(

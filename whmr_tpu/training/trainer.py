@@ -26,7 +26,7 @@ from whmr_tpu.config import WHMRConfig
 from whmr_tpu.data.assets import get_assets
 from whmr_tpu.models.regressor import body_consts_from_assets
 from whmr_tpu.models.whmr import WHMR
-from whmr_tpu.parallel import batch_sharding, make_mesh, shard_params
+from whmr_tpu.parallel import batch_sharding, make_mesh, shard_opt_state, shard_params
 from whmr_tpu.training.gt_renderer import build_render_consts
 from whmr_tpu.training.train_step import (
     create_train_state,
@@ -70,6 +70,7 @@ class Trainer:
         dtype=jnp.float32,
         seed: int = 0,
         steps_per_epoch: int = 1,
+        fsdp: bool = False,
     ):
         self.cfg = cfg
         self.log_dir = log_dir
@@ -91,9 +92,19 @@ class Trainer:
             cfg, self.model, self.consts, jax.random.PRNGKey(seed), args,
             steps_per_epoch=steps_per_epoch,
         )
+        self.fsdp = fsdp
         self.state = self.state.replace(
-            params=shard_params(self.state.params, self.mesh),
+            params=shard_params(self.state.params, self.mesh, fsdp=fsdp),
             batch_stats=shard_params(self.state.batch_stats, self.mesh),
+        )
+        # Re-place optimizer state to mirror the param shardings (under FSDP
+        # this is what actually distributes the optimizer state, ZeRO-style;
+        # under plain DP/TP it pins the moments to the mesh, scalars
+        # replicated, instead of one device).
+        self.state = self.state.replace(
+            opt_state=shard_opt_state(
+                self.state.opt_state, self.state.params, self.mesh
+            )
         )
         self.step_fn = make_jitted_train_step(
             cfg, self.model, mesh=self.mesh, donate=True,
@@ -138,10 +149,17 @@ class Trainer:
         def rep(x):
             return jax.device_put(x, replicated) if hasattr(x, "shape") else x
 
+        def like(x, t):
+            # Restore each optimizer-state leaf to its live counterpart's
+            # sharding (mirrors params under TP/FSDP).
+            if hasattr(x, "shape") and hasattr(t, "sharding"):
+                return jax.device_put(x, t.sharding)
+            return rep(x) if hasattr(x, "shape") else x
+
         self.state = self.state.replace(
-            params=shard_params(payload["params"], self.mesh),
+            params=shard_params(payload["params"], self.mesh, fsdp=self.fsdp),
             batch_stats=shard_params(payload["batch_stats"], self.mesh),
-            opt_state=jax.tree.map(rep, payload["opt_state"]),
+            opt_state=jax.tree.map(like, payload["opt_state"], self.state.opt_state),
             step=rep(jnp.asarray(payload["step"])),
         )
         self.epoch = int(payload["epoch"])
