@@ -220,7 +220,11 @@ class DemoPipeline:
 
         self._fwd = jax.jit(fwd)
 
-    def run_image(self, image: np.ndarray, name: str = "") -> Dict[str, np.ndarray]:
+    def dispatch_image(self, image: np.ndarray, name: str = ""):
+        """Async half of run_image: detect + crop on host, dispatch the
+        jitted forward WITHOUT fetching. Returns an opaque pending handle;
+        JAX dispatch is asynchronous, so the device computes while the
+        caller overlaps host work (rendering, IO, the next image's crops)."""
         import jax.numpy as jnp
 
         try:
@@ -235,14 +239,19 @@ class DemoPipeline:
             full_x = jnp.asarray(
                 prepare_full_image(self.cfg, image, raw_uint8=True)[None]
             )
-        import jax
-
         out = self._fwd(
             self.variables,
             self.consts,
             {k: jnp.asarray(v) for k, v in batch.items() if k != "valid"},
             full_x,
         )
+        return out, batch, dets
+
+    def collect(self, pending) -> Dict[str, np.ndarray]:
+        """Blocking half: fetch a dispatch_image handle to host arrays."""
+        import jax
+
+        out, batch, dets = pending
         n = int(batch["valid"].sum())
         # One bulk device->host fetch (per-array np.asarray costs one tunnel
         # round trip EACH on remote transports).
@@ -254,6 +263,9 @@ class DemoPipeline:
         )
         return result
 
+    def run_image(self, image: np.ndarray, name: str = "") -> Dict[str, np.ndarray]:
+        return self.collect(self.dispatch_image(image, name))
+
     def run_folder(
         self,
         image_folder: str,
@@ -261,8 +273,6 @@ class DemoPipeline:
         render: bool = True,
         save_obj_files: bool = False,
     ) -> Dict[str, float]:
-        from whmr_tpu.inference.renderer import render_overlay, render_side_view, save_obj
-
         os.makedirs(output_folder, exist_ok=True)
         names = sorted(
             f
@@ -271,52 +281,85 @@ class DemoPipeline:
         )
         t0 = time.time()
         n_people = 0
-        for fname in names:
-            img = cv2.imread(os.path.join(image_folder, fname))[:, :, ::-1]
-            result = self.run_image(np.ascontiguousarray(img), fname)
+        # Software pipeline, depth 1: image i+1's detector/crops/forward are
+        # dispatched before image i's results are fetched, so the device
+        # (and the tunnel round trip on remote transports) overlaps the
+        # host-side rendering + pkl/png IO instead of serializing with it.
+        queue: List[Tuple[str, np.ndarray, object]] = []
+
+        def drain():
+            nonlocal n_people
+            fname, img, pending = queue.pop(0)
+            result = self.collect(pending)
             n = result["n_people"]
             n_people += n
-            stem = os.path.splitext(fname)[0]
-            with open(os.path.join(output_folder, f"{stem}.pkl"), "wb") as f:
-                pickle.dump(result, f)
-            if render and n > 0:
-                # render_rotmat rides every view, matching the reference's
-                # camera pose (renderer_cam.py:108-110, render_image_group
-                # :173-215); side views add the checkerboard ground plane.
-                render_rotmat = result["render_rotmat"][0]
-                overlay = render_overlay(
-                    img,
-                    [result["verts"][i] for i in range(n)],
-                    [result["pred_cam_t"][i] for i in range(n)],
-                    self.assets.faces,
-                    result["focal_length"][:n],
-                    cam_rotmat=render_rotmat,
-                )
-                side_local = render_side_view(
-                    [result["verts"][i] for i in range(n)],
-                    [result["pred_cam_t"][i] for i in range(n)],
-                    self.assets.faces, 1000.0, (img.shape[0], img.shape[0]),
-                    rotmat=render_rotmat, ground=True,
-                )
-                side_world = render_side_view(
-                    [result["verts_world"][i] for i in range(n)],
-                    [result["pred_cam_t"][i] for i in range(n)],
-                    self.assets.faces, 1000.0, (img.shape[0], img.shape[0]),
-                    rotmat=render_rotmat, ground=True,
-                )
-                panel = np.concatenate(
-                    [overlay, side_local, side_world], axis=1
-                )
-                cv2.imwrite(
-                    os.path.join(output_folder, f"{stem}_overlay.png"),
-                    panel[:, :, ::-1],
-                )
-            if save_obj_files and n > 0:
-                save_obj(
-                    os.path.join(output_folder, f"{stem}.obj"),
-                    result["verts_world"][0],
-                    self.assets.faces,
-                )
+            self._emit(
+                output_folder, fname, img, result, render, save_obj_files
+            )
+
+        for fname in names:
+            img = np.ascontiguousarray(
+                cv2.imread(os.path.join(image_folder, fname))[:, :, ::-1]
+            )
+            queue.append((fname, img, self.dispatch_image(img, fname)))
+            if len(queue) > 1:
+                drain()
+        while queue:
+            drain()
         dt = time.time() - t0
         fps = len(names) / dt if dt > 0 else 0.0
         return {"images": len(names), "people": n_people, "fps": fps}
+
+    def _emit(
+        self,
+        output_folder: str,
+        fname: str,
+        img: np.ndarray,
+        result: Dict[str, np.ndarray],
+        render: bool,
+        save_obj_files: bool,
+    ) -> None:
+        from whmr_tpu.inference.renderer import render_overlay, render_side_view, save_obj
+
+        n = result["n_people"]
+        stem = os.path.splitext(fname)[0]
+        with open(os.path.join(output_folder, f"{stem}.pkl"), "wb") as f:
+            pickle.dump(result, f)
+        if render and n > 0:
+            # render_rotmat rides every view, matching the reference's
+            # camera pose (renderer_cam.py:108-110, render_image_group
+            # :173-215); side views add the checkerboard ground plane.
+            render_rotmat = result["render_rotmat"][0]
+            overlay = render_overlay(
+                img,
+                [result["verts"][i] for i in range(n)],
+                [result["pred_cam_t"][i] for i in range(n)],
+                self.assets.faces,
+                result["focal_length"][:n],
+                cam_rotmat=render_rotmat,
+            )
+            side_local = render_side_view(
+                [result["verts"][i] for i in range(n)],
+                [result["pred_cam_t"][i] for i in range(n)],
+                self.assets.faces, 1000.0, (img.shape[0], img.shape[0]),
+                rotmat=render_rotmat, ground=True,
+            )
+            side_world = render_side_view(
+                [result["verts_world"][i] for i in range(n)],
+                [result["pred_cam_t"][i] for i in range(n)],
+                self.assets.faces, 1000.0, (img.shape[0], img.shape[0]),
+                rotmat=render_rotmat, ground=True,
+            )
+            panel = np.concatenate(
+                [overlay, side_local, side_world], axis=1
+            )
+            cv2.imwrite(
+                os.path.join(output_folder, f"{stem}_overlay.png"),
+                panel[:, :, ::-1],
+            )
+        if save_obj_files and n > 0:
+            save_obj(
+                os.path.join(output_folder, f"{stem}.obj"),
+                result["verts_world"][0],
+                self.assets.faces,
+            )
