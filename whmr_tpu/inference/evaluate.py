@@ -193,19 +193,34 @@ def run_evaluation(
     )
     metrics = EvalMetrics()
     collected: Dict[str, list] = {}
+    # Per-batch sums stay on device until a log boundary (or the end):
+    # float() per batch would block on every batch's compute + transfer,
+    # serializing host-side batch prep with the device. Dispatch is async,
+    # so deferring the readback keeps both sides busy.
+    pending: list = []
+
+    def flush():
+        for s_mpjpe, s_pa, s_pve, n in jax.device_get(pending):
+            metrics.update(s_mpjpe, s_pa, s_pve, n)
+        pending.clear()
+
     for i, batch in enumerate(batches):
-        (s_mpjpe, s_pa, s_pve, n), extras = step(variables, consts, batch)
-        metrics.update(s_mpjpe, s_pa, s_pve, n)
+        sums, extras = step(variables, consts, batch)
+        pending.append(sums)
         if extras is not None:
+            # device_get here is unavoidable (arrays are dumped to npz) but
+            # fetches batch i while batch i+1's step is already dispatched.
             host = jax.device_get(extras)
             for k, v in host.items():
                 collected.setdefault(k, []).append(v)
         if log_every and (i + 1) % log_every == 0:
+            flush()
             r = metrics.result()
             print(
                 f"[eval] {metrics.count} samples  MPJPE {r['mpjpe']:.2f}  "
                 f"PA-MPJPE {r['pa_mpjpe']:.2f}  PVE {r['pve']:.2f}"
             )
+    flush()
     if result_file and collected:
         import numpy as np
 
