@@ -27,20 +27,16 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def main(argv=None):
-    args = build_parser().parse_args(argv)
+def build_pipeline(args):
+    """Model + DemoPipeline construction shared by whmr-demo and whmr-video.
 
-    from whmr_tpu.utils.profiling import enable_compile_cache
-
-    enable_compile_cache()
-
+    `args` needs: misc, data_dir, checkpoint, max_people, no_camcalib."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from whmr_tpu.config import WHMRConfig
     from whmr_tpu.data.assets import get_assets
-    from whmr_tpu.inference.detector import build_detector
     from whmr_tpu.inference.pipeline import DemoPipeline
     from whmr_tpu.models.regressor import body_consts_from_assets
     from whmr_tpu.models.whmr import WHMR
@@ -76,11 +72,23 @@ def main(argv=None):
             raise SystemExit(f"no checkpoint in {args.checkpoint}")
         variables = {"params": payload["params"], "batch_stats": payload["batch_stats"]}
 
-    pipeline = DemoPipeline(
+    return DemoPipeline(
         cfg, variables, assets,
         max_people=args.max_people,
         use_camcalib=not args.no_camcalib,
     )
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    from whmr_tpu.utils.profiling import enable_compile_cache
+
+    enable_compile_cache()
+
+    from whmr_tpu.inference.detector import build_detector
+
+    pipeline = build_pipeline(args)
     pipeline.detector = build_detector(args.detector, args.bbox_file, pipeline=pipeline)
     stats = pipeline.run_folder(
         args.image_folder, args.output_folder,

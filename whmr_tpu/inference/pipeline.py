@@ -33,12 +33,16 @@ from whmr_tpu.data.assets import SMPLAssets
 
 @dataclass
 class Detection:
-    """One person bbox: center (cx, cy) and square size (h=w), score."""
+    """One person bbox: center (cx, cy) and square size (h=w), score.
+
+    track_id is assigned by the video path's TrackingDetector (-1 = none).
+    """
 
     cx: float
     cy: float
     size: float
     score: float = 1.0
+    track_id: int = -1
 
 
 class FullImageDetector:
