@@ -179,5 +179,5 @@ class TestMultiPersonDemo:
             data = pickle.load(f)
         assert data["n_people"] == 3
         assert data["verts"].shape == (3, 6890, 3)
-        assert data["detections"].shape == (3, 4)
+        assert data["detections"].shape == (3, 5)  # cx, cy, size, score, track_id
         assert os.path.exists(out_dir / "three_overlay.png")

@@ -98,6 +98,24 @@ class TestVideoCLI:
             "deconv.num_filters", "(32,32,32)",
             "vit.embed_dim", "64", "vit.depth", "1", "vit.num_heads", "2",
         ])
-        pkls = [f for f in os.listdir(out) if f.endswith(".pkl")]
+        pkls = [f for f in os.listdir(os.path.join(out, "results")) if f.endswith(".pkl")]
         assert len(pkls) == 2  # every_n=2 of 4 frames
         assert os.path.exists(os.path.join(out, "result.mp4"))
+
+    def test_rerun_does_not_mix_stale_outputs(self, tmp_path, monkeypatch):
+        from whmr_tpu.inference import video_cli
+
+        out = str(tmp_path / "out")
+        common = [
+            "--output_folder", out, "--detector", "contour", "--max_people", "2",
+            "--no_camcalib",
+            "--misc", "pymaf.mlp_dim", "(32,16,8,4)",
+            "deconv.num_filters", "(32,32,32)",
+            "vit.embed_dim", "64", "vit.depth", "1", "vit.num_heads", "2",
+        ]
+        clip_a = _write_clip(str(tmp_path / "a.mp4"), n_frames=6)
+        video_cli.main(["--video", clip_a, "--every_n", "1"] + common)
+        clip_b = _write_clip(str(tmp_path / "b.mp4"), n_frames=2)
+        video_cli.main(["--video", clip_b, "--every_n", "1"] + common)
+        pkls = [f for f in os.listdir(os.path.join(out, "results")) if f.endswith(".pkl")]
+        assert len(pkls) == 2  # only clip_b's frames, no leftovers from clip_a

@@ -262,8 +262,11 @@ class DemoPipeline:
         out_host = jax.device_get(out)
         result = {k: v[:n] for k, v in out_host.items()}
         result["n_people"] = n
+        # Columns: cx, cy, size, score, track_id (-1 when untracked) — the
+        # track column lets a consumer regroup person slots across frames.
         result["detections"] = np.array(
-            [[d.cx, d.cy, d.size, d.score] for d in dets[:n]], np.float32
+            [[d.cx, d.cy, d.size, d.score, d.track_id] for d in dets[:n]],
+            np.float32,
         )
         return result
 

@@ -29,7 +29,8 @@ class TrackingDetector:
     smooth_bbox.get_smooth_bbox_params and the pose_tracker regrouping.
     """
 
-    def __init__(self, base, min_cutoff: float = 0.6, beta: float = 0.1):
+    def __init__(self, base, min_cutoff: float = 0.6, beta: float = 0.1,
+                 freq: float = 30.0):
         from whmr_tpu.utils.tracking import GreedyIoUTracker
 
         self.base = base
@@ -37,6 +38,9 @@ class TrackingDetector:
         self.filters = {}
         self.min_cutoff = min_cutoff
         self.beta = beta
+        # Effective processed-frame rate: the one-Euro derivative term
+        # scales with this, so decimated streams must pass fps/every_n.
+        self.freq = freq
 
     def __call__(self, image: np.ndarray, name: str = "") -> List:
         from whmr_tpu.utils.tracking import OneEuroFilter
@@ -58,11 +62,20 @@ class TrackingDetector:
         ids = self.tracker.update(boxes)
         for det, tid in zip(dets, ids):
             f = self.filters.setdefault(
-                tid, OneEuroFilter(min_cutoff=self.min_cutoff, beta=self.beta)
+                tid, OneEuroFilter(
+                    min_cutoff=self.min_cutoff, beta=self.beta, freq=self.freq
+                )
             )
             cx, cy, size = f(np.array([det.cx, det.cy, det.size], np.float32))
             det.cx, det.cy, det.size = float(cx), float(cy), float(size)
             det.track_id = tid
+        # Drop filter state for tracks the tracker has retired (ids are
+        # never reused, so without pruning a long stream leaks one filter
+        # per transient detection).
+        live = set(self.tracker._tracks)
+        for tid in list(self.filters):
+            if tid not in live:
+                del self.filters[tid]
         return dets
 
 
@@ -77,7 +90,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bbox_file", default=None)
     p.add_argument("--max_people", type=int, default=8)
     p.add_argument("--every_n", type=int, default=1, help="process every Nth frame")
-    p.add_argument("--fps", type=float, default=30.0, help="output video fps")
+    p.add_argument("--fps", type=float, default=30.0,
+                   help="SOURCE video fps; the output encodes at fps/every_n "
+                        "so the result plays in real time")
     p.add_argument("--no_camcalib", action="store_true")
     p.add_argument("--no_track", action="store_true",
                    help="disable cross-frame tracking/smoothing")
@@ -92,31 +107,61 @@ def main(argv=None):
 
     enable_compile_cache()
 
+    import shutil
+
     from whmr_tpu.inference.demo_cli import build_pipeline
     from whmr_tpu.inference.detector import build_detector
     from whmr_tpu.inference.video import images_to_video, video_to_images
 
     pipeline = build_pipeline(args)
     base = build_detector(args.detector, args.bbox_file, pipeline=pipeline)
-    pipeline.detector = base if args.no_track else TrackingDetector(base)
+    eff_fps = args.fps / args.every_n
+    pipeline.detector = (
+        base if args.no_track else TrackingDetector(base, freq=eff_fps)
+    )
 
     os.makedirs(args.output_folder, exist_ok=True)
+    # Fresh per-run frame/result dirs: reusing an output folder must not mix
+    # stale frames or overlays from a previous clip into this run's video.
     frame_dir = os.path.join(args.output_folder, "frames")
+    result_dir = os.path.join(args.output_folder, "results")
+    for d in (frame_dir, result_dir):
+        if os.path.isdir(d):
+            shutil.rmtree(d)
     frames = video_to_images(args.video, frame_dir, every_n=args.every_n)
     print(f"extracted {len(frames)} frames -> {frame_dir}")
-    stats = pipeline.run_folder(frame_dir, args.output_folder, render=True)
+    stats = pipeline.run_folder(frame_dir, result_dir, render=True)
 
-    overlays = sorted(
-        os.path.join(args.output_folder, f)
-        for f in os.listdir(args.output_folder)
-        if f.endswith("_overlay.png")
-    )
+    # Assemble the result video from THIS run's frames, in frame order;
+    # frames with no detections (no overlay written) fall back to the raw
+    # frame padded to the 3-view panel shape (frame + two h x h side views)
+    # so the timeline has no silent gaps and every frame has equal size.
+    import cv2
+
+    panel_paths = []
+    for fp in frames:
+        stem = os.path.splitext(os.path.basename(fp))[0]
+        overlay = os.path.join(result_dir, f"{stem}_overlay.png")
+        if os.path.exists(overlay):
+            panel_paths.append(overlay)
+            continue
+        frame = cv2.imread(fp)
+        h = frame.shape[0]
+        panel = np.concatenate(
+            [frame, np.zeros((h, 2 * h, 3), frame.dtype)], axis=1
+        )
+        gap = os.path.join(result_dir, f"{stem}_gap.png")
+        cv2.imwrite(gap, panel)
+        panel_paths.append(gap)
     out_path = os.path.join(args.output_folder, "result.mp4")
-    if overlays:
-        images_to_video(overlays, out_path, fps=args.fps / args.every_n)
+    if panel_paths:
+        images_to_video(panel_paths, out_path, fps=eff_fps)
+        dest = out_path
+    else:
+        dest = result_dir
     print(
         f"W-HMR video: {stats['images']} frames, {stats['people']} people, "
-        f"{stats['fps']:.2f} fps -> {out_path}"
+        f"{stats['fps']:.2f} fps -> {dest}"
     )
 
 

@@ -208,9 +208,10 @@ def _kernel(
 
     def body(ci, carry):
         # Chunk-vs-tile bbox test on SMEM scalars; a miss skips the whole
-        # (tile_p x chunk) coverage pass. Exact: a triangle can only cover
-        # pixel centers inside its own bbox, so skipped chunks contribute
-        # nothing to this tile.
+        # (tile_p x chunk) coverage pass. A triangle can only cover pixel
+        # centers inside its own bbox; the bboxes carry a small pad (see
+        # caller) so fp32 rounding of the bary evaluation cannot make a
+        # culled chunk differ from the unculled path at boundary pixels.
         hit = (
             (bbox_ref[0, 1, ci] >= x0)
             & (bbox_ref[0, 0, ci] <= x1)
@@ -278,12 +279,18 @@ def rasterize_pallas(
         verts_pix, verts_z, attrs, jnp.asarray(faces_pad)
     )
     # Per-chunk bbox table (B, 4, K) rows [xmin, xmax, ymin, ymax] -> SMEM.
+    # Boxes are padded by a small margin so the cull is conservative under
+    # fp32 rounding of the barycentric evaluation (a face whose true bbox
+    # ends within ~1e-6 of a pixel center could still shade it through
+    # rounding of px*a + py*b + c; without the pad that pixel would match
+    # in the XLA path but be culled here).
+    pad = 0.0625
     bbox = jnp.stack(
         [
-            fx_lo.reshape(b, n_chunks, chunk).min(axis=-1),
-            fx_hi.reshape(b, n_chunks, chunk).max(axis=-1),
-            fy_lo.reshape(b, n_chunks, chunk).min(axis=-1),
-            fy_hi.reshape(b, n_chunks, chunk).max(axis=-1),
+            fx_lo.reshape(b, n_chunks, chunk).min(axis=-1) - pad,
+            fx_hi.reshape(b, n_chunks, chunk).max(axis=-1) + pad,
+            fy_lo.reshape(b, n_chunks, chunk).min(axis=-1) - pad,
+            fy_hi.reshape(b, n_chunks, chunk).max(axis=-1) + pad,
         ],
         axis=1,
     )
