@@ -209,6 +209,12 @@ class TestPipelineHardening:
         loader = BatchLoader(ds, batch_size=4, num_workers=2, shuffle=False)
         batches = list(loader)
         assert len(batches) == 2
+        # EVAL mode must NOT substitute: a silently duplicated neighbor
+        # would skew benchmark metrics — fail loudly instead.
+        ds_eval = NpzDataset(cfg, str(root / "labels.npz"), str(root / "images"),
+                             is_train=False)
+        with pytest.raises(FileNotFoundError):
+            ds_eval[2]
 
     def test_deterministic_epoch_repeat(self, fake_dataset):
         """Same (seed, epoch, index) -> bit-identical augmented sample, even

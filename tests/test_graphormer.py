@@ -128,6 +128,13 @@ class TestGraphormerIntegration:
         assert np.isfinite(float(metrics["loss"]))
         # vertex losses exist for the appended stage (l_i=4 > 2)
         assert "loss_shape_4" in metrics
+        # ...but NOT parametric losses: the refiner stage carries stage 3's
+        # rotmat/shape/cam unchanged; scoring them again would double the
+        # last parametric step's gradient.
+        assert "loss_regr_pose_4" not in metrics
+        assert "loss_regr_betas_4" not in metrics
+        assert "loss_cam_4" not in metrics
+        assert "loss_regr_pose_3" in metrics
         moved = jax.tree.map(
             lambda a, b: float(jnp.abs(a - b).max()),
             state.params["transformer0"], new_state.params["transformer0"],

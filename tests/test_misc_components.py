@@ -90,6 +90,9 @@ class TestAgoraExport:
             result_filename("ag_cam00_00001_1280x720.png", 2, mode="val")
             == "ag_cam00_00001_personId_2.pkl"
         )
+        # underscore-poor stems keep their stem instead of collapsing every
+        # image onto the colliding 'personId_<k>.pkl'
+        assert result_filename("img.png", 1, mode="val") == "img_personId_1.pkl"
         assert (
             result_filename("ag_cam00_00001_1280x720.png", 2, mode="test")
             == "ag_cam00_00001_1280x720_personId_2.pkl"

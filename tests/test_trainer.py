@@ -38,6 +38,24 @@ class TestTrainer:
         p1 = jax.tree.leaves(trainer2.state.params)[0]
         np.testing.assert_allclose(np.asarray(p0), np.asarray(p1))
 
+    def test_epoch_boundary_resume_does_not_retrain(self, tmp_path):
+        """An epoch-boundary checkpoint records epoch+1 (reference
+        trainer.py:362,662), so resume continues at the NEXT epoch instead
+        of silently retraining the finished one."""
+        cfg = tiny_config()
+        trainer = Trainer(cfg, str(tmp_path / "runE"), aux_rendering=False)
+        trainer.fit(lambda epoch: batch_iter(cfg, n_batches=2), num_epochs=1,
+                    log_every=1)
+        assert int(trainer.state.step) == 2
+
+        trainer2 = Trainer(cfg, str(tmp_path / "runE"), aux_rendering=False)
+        assert trainer2.resume()
+        assert trainer2.epoch == 1 and trainer2.batch_idx == 0
+        # Continuing to num_epochs=2 runs exactly ONE more epoch (epoch 1).
+        trainer2.fit(lambda epoch: batch_iter(cfg, n_batches=2), num_epochs=2,
+                     log_every=1)
+        assert int(trainer2.state.step) == 4
+
     def test_fit_with_validation_best_ckpt(self, tmp_path):
         cfg = tiny_config()
         trainer = Trainer(cfg, str(tmp_path / "run2"), aux_rendering=False)

@@ -135,9 +135,13 @@ class NpzDataset:
         self.epoch = int(epoch)
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
-        # Unreadable image -> warn and substitute a neighboring sample so a
-        # single corrupt file cannot kill the epoch (the reference only logs
-        # and then crashes, base_dataset.py:270-277 — strictly worse).
+        # TRAINING: an unreadable image is warned about and a neighboring
+        # sample substituted so one corrupt file cannot kill the epoch (the
+        # reference only logs and then crashes, base_dataset.py:270-277 —
+        # strictly worse). EVAL: substitution would silently score a
+        # neighbor twice and skew benchmark metrics, so fail loudly instead.
+        if not self.is_train:
+            return self._load_item(index)
         last_err: Optional[Exception] = None
         for attempt in range(8):
             i = (index + attempt) % len(self)

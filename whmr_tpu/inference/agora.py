@@ -35,11 +35,15 @@ def result_filename(img_name: str, person_idx: int, mode: str = "test") -> str:
     """`<stem>_personId_<k>.pkl`, with the val-mode component drop
     (val_results.py:100-108)."""
     stem = os.path.splitext(os.path.basename(str(img_name)))[0]
-    name = f"{stem}_personId_{person_idx}.pkl"
     if mode == "val":
-        parts = name.split("_")
-        name = "_".join(parts[:-3] + parts[-2:])
-    return name
+        # val_results.py:104-107 drops the last `_`-component of the stem
+        # (the AGORA camera/frame suffix). Only applicable when the stem has
+        # one: on underscore-poor names the reference expression would drop
+        # the ENTIRE stem and collide every image onto 'personId_<k>.pkl'.
+        parts = stem.split("_")
+        if len(parts) >= 2:
+            stem = "_".join(parts[:-1])
+    return f"{stem}_personId_{person_idx}.pkl"
 
 
 def export_person(

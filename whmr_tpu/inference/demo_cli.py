@@ -12,10 +12,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint", default=None, help="orbax checkpoint dir (random init if omitted)")
     p.add_argument("--data_dir", default=None, help="asset dir")
     p.add_argument(
-        "--detector", default="iuv", choices=["full", "file", "iuv", "contour"],
-        help="person detector: iuv (model's dense-IUV head, default — uses "
-             "the loaded checkpoint), contour (foreground blobs), full "
-             "(whole image), file (--bbox_file json)",
+        "--detector", default=None, choices=["full", "file", "iuv", "contour"],
+        help="person detector: iuv (model's dense-IUV head — needs trained "
+             "weights), contour (foreground blobs), full (whole image), "
+             "file (--bbox_file json). Default: iuv when --checkpoint is "
+             "given, full otherwise (an untrained IUV head detects nothing).",
     )
     p.add_argument("--bbox_file", default=None, help="json bboxes for --detector file")
     p.add_argument("--max_people", type=int, default=8)
@@ -89,7 +90,8 @@ def main(argv=None):
     from whmr_tpu.inference.detector import build_detector
 
     pipeline = build_pipeline(args)
-    pipeline.detector = build_detector(args.detector, args.bbox_file, pipeline=pipeline)
+    kind = args.detector or ("iuv" if args.checkpoint else "full")
+    pipeline.detector = build_detector(kind, args.bbox_file, pipeline=pipeline)
     stats = pipeline.run_folder(
         args.image_folder, args.output_folder,
         render=not args.no_render, save_obj_files=args.save_obj,

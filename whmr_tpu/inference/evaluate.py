@@ -89,8 +89,13 @@ def make_eval_step(
                 variables, consts, batch["img"], train=False
             )
             pred_verts = smpl_forward(consts.smpl, betas, rotmat).vertices
+            from whmr_tpu.ops.rotation import rotmat_to_angle_axis
+
+            # Real axis-angle pose for the --result_file dump (the reference
+            # dump stores smpl_pose, eval.py:312-319 — not zeros).
+            pose_aa = rotmat_to_angle_axis(rotmat.reshape(-1, 3, 3)).reshape(-1, 72)
             last_params = {
-                "pose": jnp.zeros((rotmat.shape[0], 72)),
+                "pose": pose_aa,
                 "pred_shape": betas,
                 "pred_cam": _cam,
             }

@@ -85,14 +85,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output_folder", default="output_video")
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--data_dir", default=None)
-    p.add_argument("--detector", default="iuv",
-                   choices=["full", "file", "iuv", "contour"])
+    p.add_argument("--detector", default=None,
+                   choices=["full", "file", "iuv", "contour"],
+                   help="default: iuv with --checkpoint, full otherwise")
     p.add_argument("--bbox_file", default=None)
     p.add_argument("--max_people", type=int, default=8)
     p.add_argument("--every_n", type=int, default=1, help="process every Nth frame")
-    p.add_argument("--fps", type=float, default=30.0,
-                   help="SOURCE video fps; the output encodes at fps/every_n "
-                        "so the result plays in real time")
+    p.add_argument("--fps", type=float, default=None,
+                   help="SOURCE video fps (default: read from the file, "
+                        "falling back to 30); the output encodes at "
+                        "fps/every_n so the result plays in real time")
     p.add_argument("--no_camcalib", action="store_true")
     p.add_argument("--no_track", action="store_true",
                    help="disable cross-frame tracking/smoothing")
@@ -113,9 +115,19 @@ def main(argv=None):
     from whmr_tpu.inference.detector import build_detector
     from whmr_tpu.inference.video import images_to_video, video_to_images
 
+    import cv2
+
     pipeline = build_pipeline(args)
-    base = build_detector(args.detector, args.bbox_file, pipeline=pipeline)
-    eff_fps = args.fps / args.every_n
+    kind = args.detector or ("iuv" if args.checkpoint else "full")
+    base = build_detector(kind, args.bbox_file, pipeline=pipeline)
+    src_fps = args.fps
+    if src_fps is None:
+        cap = cv2.VideoCapture(args.video)
+        src_fps = cap.get(cv2.CAP_PROP_FPS) or 0.0
+        cap.release()
+        if not (src_fps and src_fps > 0):
+            src_fps = 30.0
+    eff_fps = src_fps / args.every_n
     pipeline.detector = (
         base if args.no_track else TrackingDetector(base, freq=eff_fps)
     )
@@ -136,8 +148,6 @@ def main(argv=None):
     # frames with no detections (no overlay written) fall back to the raw
     # frame padded to the 3-view panel shape (frame + two h x h side views)
     # so the timeline has no silent gaps and every frame has equal size.
-    import cv2
-
     panel_paths = []
     for fp in frames:
         stem = os.path.splitext(os.path.basename(fp))[0]

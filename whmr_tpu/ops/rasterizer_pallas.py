@@ -55,9 +55,13 @@ from whmr_tpu.ops.rasterizer import RasterOut, _face_chunks
 
 _BIG = 1e9
 
+# Default face-chunk size of rasterize_pallas; spatial_sort_faces uses the
+# same value so KD cell boundaries coincide with runtime chunk boundaries.
+DEFAULT_CHUNK = 1024
+
 
 def spatial_sort_faces(
-    faces: np.ndarray, v_template: np.ndarray, chunk: int = 256
+    faces: np.ndarray, v_template: np.ndarray, chunk: int = DEFAULT_CHUNK
 ) -> np.ndarray:
     """Reorder faces by chunk-aligned KD bisection of template centroids.
 
@@ -68,9 +72,9 @@ def spatial_sort_faces(
     Recursively splits the face set at the widest centroid axis into two
     chunk-multiple halves, so chunk boundaries coincide with cell
     boundaries. Measured on the synthetic SMPL mesh (B=8 random poses,
-    32x32 tiles, 54 chunks): avg chunks hitting a tile = 5.7 (KD) vs 9.0
-    (Morton), 6.4 (native grid order), 26.9 (random order); KD is also
-    input-order invariant (5.73 from a random permutation).
+    32x32 tiles, 256-face cells/54 chunks): avg chunks hitting a tile = 5.7
+    (KD) vs 9.0 (Morton), 6.4 (native grid order), 26.9 (random order); KD
+    is also input-order invariant (5.73 from a random permutation).
     """
     cent = v_template[faces].mean(axis=1)  # (F, 3)
     out = []
@@ -252,7 +256,7 @@ def rasterize_pallas(
     attrs: jnp.ndarray,
     faces: np.ndarray,
     resolution: Tuple[int, int] = (128, 128),
-    chunk: int = 1024,
+    chunk: int = DEFAULT_CHUNK,
     tile_p: int = 128,
     tile_hw: Optional[Tuple[int, int]] = None,
     interpret: bool = False,

@@ -197,12 +197,19 @@ def whmr_loss(
         pred_rotmat = out["rotmat"]
         pred_betas = out["pred_shape"]
         pred_cam = out["pred_cam"]
+        # The appended Graphormer stage carries the LAST parametric step's
+        # rotmat/shape/cam unchanged (models/whmr.py _graphormer_stage);
+        # scoring them again would double that step's parametric gradient.
+        # Only its refined vertices/keypoints are supervised (reference
+        # supervises the non-parametric branch the same way).
+        nonparam = cfg.pymaf.grph_on and l_i == len(smpl_out) - 1
 
-        lp, lb = smpl_param_loss(
-            pred_rotmat, pred_betas, batch["pose"], batch["betas"], batch["has_smpl"]
-        )
-        loss_dict[f"loss_regr_pose_{l_i}"] = lp * w.pose_w
-        loss_dict[f"loss_regr_betas_{l_i}"] = lb * w.shape_w
+        if not nonparam:
+            lp, lb = smpl_param_loss(
+                pred_rotmat, pred_betas, batch["pose"], batch["betas"], batch["has_smpl"]
+            )
+            loss_dict[f"loss_regr_pose_{l_i}"] = lp * w.pose_w
+            loss_dict[f"loss_regr_betas_{l_i}"] = lb * w.shape_w
 
         if w.kp_2d_w > 0:
             loss_dict[f"loss_keypoints_{l_i}"] = (
@@ -220,7 +227,7 @@ def whmr_loss(
                 * w.kp_2d_w
             )
 
-        if cfg.pymaf.focal_supv_on:
+        if cfg.pymaf.focal_supv_on and not nonparam:
             loss_dict[f"loss_focal_length_{l_i}"] = (
                 jnp.mean((out["focal_length"] - batch["focal"]) ** 2) * w.focal_weights
             )
@@ -244,7 +251,8 @@ def whmr_loss(
             )
 
         # Positive-depth camera regularizer (trainer.py:586-588).
-        loss_dict[f"loss_cam_{l_i}"] = jnp.mean(jnp.exp(-pred_cam[:, 0] * 10) ** 2)
+        if not nonparam:
+            loss_dict[f"loss_cam_{l_i}"] = jnp.mean(jnp.exp(-pred_cam[:, 0] * 10) ** 2)
 
     if uvia_gt is not None and preds["dp_out"]:
         dp = preds["dp_out"][-1]

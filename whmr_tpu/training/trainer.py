@@ -288,5 +288,9 @@ class Trainer:
                 val = validate_fn(self.state)
                 self.metrics.write(int(self.state.step), {f"val_{k}": v for k, v in val.items()})
                 metric = val.get("pa_mpjpe")
+            # Epoch-boundary checkpoints record the NEXT epoch (reference
+            # saver call sites trainer.py:362,662 save epoch+1 with batch 0)
+            # so a resume continues at E+1 instead of retraining epoch E.
+            self.epoch = epoch + 1
             self.save(metric=metric)
         return self.state
