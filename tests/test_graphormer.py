@@ -58,8 +58,14 @@ class TestBodyNetwork:
         params = net.init(jax.random.PRNGKey(0), body_feat, grid_feat, temp_verts, adj)
         full_mask = jnp.ones((1, 431, 1))
         zero_mask = jnp.zeros((1, 431, 1))
-        a = net.apply(params, body_feat, grid_feat, temp_verts, adj, meta_masks=full_mask, train=True)
-        b = net.apply(params, body_feat, grid_feat, temp_verts, adj, meta_masks=zero_mask, train=True)
+        # train=True now exercises the BERT dropouts -> needs the rng; the
+        # SAME key for both calls keeps the dropout masks identical so the
+        # only difference is the meta mask.
+        rngs = {"dropout": jax.random.PRNGKey(7)}
+        a = net.apply(params, body_feat, grid_feat, temp_verts, adj,
+                      meta_masks=full_mask, train=True, rngs=rngs)
+        b = net.apply(params, body_feat, grid_feat, temp_verts, adj,
+                      meta_masks=zero_mask, train=True, rngs=rngs)
         assert np.abs(np.asarray(a["verts"]) - np.asarray(b["verts"])).max() > 1e-5
 
 

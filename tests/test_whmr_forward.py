@@ -52,6 +52,27 @@ class TestTinyForward:
         assert out["vis"]["render_rotmat"].shape == (b, 3, 3)
         assert len(out["dp_out"]) == 1  # aux_supv_on default
 
+    def test_n_iter_2_regroups_all_deconvs(self):
+        """n_iter=2 regroups the 3 deconv layers into 2 pyramid levels
+        (reference whmr.py:540-541: [0:6],[6:9]) — the final feature map
+        stays full resolution and the aux heads keep their shapes."""
+        from dataclasses import replace
+
+        cfg = tiny_config()
+        cfg = replace(cfg, pymaf=replace(cfg.pymaf, n_iter=2))
+        model, variables, consts, args = build(cfg)
+        out = model.apply(variables, consts, **args)
+        assert len(out["smpl_out"]) == 3  # init + 2 MAF steps
+        # dp head runs on the FULL-resolution final level: 8x upsampled
+        # tokens, sliced to the vitpose 4:3 grid (128x96 at full size).
+        dp = out["dp_out"][-1]
+        hp, wp = cfg.vit.grid_hw
+        assert dp["predict_uv_index"].shape[1] == hp * 8
+        # ALL deconv layers must exist in the param tree (n_iter only
+        # regroups them; n_iter=2 previously dropped deconv2 entirely).
+        for i in range(3):
+            assert f"deconv{i}" in variables["params"], i
+
     def test_all_finite(self):
         cfg = tiny_config()
         model, variables, consts, args = build(cfg)

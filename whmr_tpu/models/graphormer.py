@@ -55,10 +55,16 @@ def build_adjacency(assets: SMPLAssets, path: Optional[str] = None) -> np.ndarra
 
 
 class BertSelfAttention(nn.Module):
-    """Post-LN BERT attention block (modeling_graphormer BertAttention)."""
+    """Post-LN BERT attention block (modeling_graphormer BertAttention).
+
+    Dropout sites and rates follow the reference BERT config (whmr.py:370
+    sets hidden_dropout_prob=0.1; attention_probs_dropout_prob is the
+    bert-base default 0.1): on the attention probabilities and on the
+    projected output before the residual."""
 
     num_heads: int
     dtype: Any = jnp.float32
+    dropout: float = 0.1
 
     @nn.compact
     def __call__(self, x, deterministic=True):
@@ -73,8 +79,10 @@ class BertSelfAttention(nn.Module):
 
         attn = jnp.einsum("bnhd,bmhd->bhnm", split(q) / jnp.sqrt(head).astype(x.dtype), split(k))
         attn = nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
+        attn = nn.Dropout(self.dropout, deterministic=deterministic)(attn)
         ctx = jnp.einsum("bhnm,bmhd->bnhd", attn, split(v)).reshape(b, n, c)
         out = nn.Dense(c, dtype=self.dtype, name="out")(ctx)
+        out = nn.Dropout(self.dropout, deterministic=deterministic)(out)
         return nn.LayerNorm(epsilon=1e-12, dtype=self.dtype, name="ln")(out + x)
 
 
@@ -116,6 +124,8 @@ class GraphormerLayer(nn.Module):
         y = nn.Dense(self.intermediate, dtype=self.dtype, name="intermediate")(x)
         y = nn.gelu(y, approximate=False)
         y = nn.Dense(c, dtype=self.dtype, name="output")(y)
+        # BertOutput hidden dropout (reference hidden_dropout_prob=0.1).
+        y = nn.Dropout(0.1, deterministic=deterministic)(y)
         return nn.LayerNorm(epsilon=1e-12, dtype=self.dtype, name="ln")(x + y)
 
 
@@ -141,6 +151,8 @@ class GraphormerEncoder(nn.Module):
             (self.max_tokens, self.hidden),
         )
         x = x + pos[None, :n].astype(x.dtype)
+        # BertEmbeddings hidden dropout (reference hidden_dropout_prob=0.1).
+        x = nn.Dropout(0.1, deterministic=deterministic)(x)
         for i in range(self.num_layers):
             x = GraphormerLayer(
                 self.num_heads, self.hidden * 2, self.graph_conv,
@@ -159,7 +171,6 @@ class GraphormerBodyNetwork(nn.Module):
     Output: refined vertices at 431 / 1723 / 6890 resolution.
     """
 
-    body_feat_dim: int = 2155
     dtype: Any = jnp.float32
 
     @nn.compact

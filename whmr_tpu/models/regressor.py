@@ -132,6 +132,15 @@ def _smpl_out_bundle(
     temp_verts = jnp.einsum("ts,bsk->btk", consts.dmap1, sub_verts)
     markers = pred_vertices[:, consts.ssm]
 
+    # smpl_kp_3d/pelvis are REGRESSED from the final vertices (reference
+    # whmr.py:185-187: vertices2joints(J_regressor, verts) + vertex picks),
+    # not the kinematic-chain joints — they differ under pose blendshapes,
+    # and AGORA export consumes smpl_kp_3d (val_results.py:150).
+    j24 = vertices2joints(consts.smpl.j_regressor, pred_vertices)
+    smpl_kp_3d = jnp.concatenate(
+        [j24, pred_vertices[:, consts.smpl.vertex_joint_ids]], axis=1
+    )
+
     output = {
         "theta": jnp.concatenate([pred_cam, pred_shape, pose_aa], axis=1),
         "verts": pred_vertices,
@@ -139,12 +148,12 @@ def _smpl_out_bundle(
         "temp_verts": temp_verts,
         "kp_2d": pred_kp_2d,
         "kp_3d": kp3d,
-        "smpl_kp_3d": out.joints_smpl,
+        "smpl_kp_3d": smpl_kp_3d,
         "rotmat": pred_rotmat,
         "pred_cam": pred_cam,
         "pred_shape": pred_shape,
         "pose": pose_aa,
-        "pelvis": out.joints_smpl[:, :1, :],
+        "pelvis": smpl_kp_3d[:, :1, :],
         "markers": markers,
     }
 

@@ -37,9 +37,11 @@ class DropPath(nn.Module):
         keep = 1.0 - self.rate
         rng = self.make_rng("dropout")
         shape = (x.shape[0],) + (1,) * (x.ndim - 1)
-        mask = jnp.floor(keep + jnp.asarray(
-            nn.initializers.uniform(scale=1.0)(rng, shape), x.dtype
-        ))
+        # Unbiased Bernoulli in fp32 (a compute-dtype floor(keep + u) would
+        # quantize the draw to bf16 and skew the keep probability).
+        import jax
+
+        mask = jax.random.bernoulli(rng, keep, shape).astype(x.dtype)
         return x / keep * mask
 
 

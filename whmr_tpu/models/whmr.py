@@ -213,9 +213,16 @@ class WHMR(nn.Module):
         out_smpl = [smpl_output]
 
         # 4. Deconv pyramid; each level feeds one MAF step (whmr.py:560-564).
+        # ALL deconv layers always run — n_iter only regroups them into
+        # pyramid levels (whmr.py:537-543: n_iter=2 -> [0:2],[2:3]), so the
+        # final feature map is full resolution regardless of n_iter and the
+        # param tree is n_iter-independent.
+        n_layers = len(self.deconv_blocks)
+        bounds = [round(n_layers * k / n_iter) for k in range(n_iter + 1)]
         level_feats = []
-        for i in range(n_iter):
-            s_feat = self.deconv_blocks[i](s_feat, train=train)
+        for k in range(n_iter):
+            for i in range(bounds[k], bounds[k + 1]):
+                s_feat = self.deconv_blocks[i](s_feat, train=train)
             level_feats.append(s_feat)
 
         # 5. Tz head; stage 1 detaches the pyramid (whmr.py:567-570).

@@ -125,7 +125,7 @@ def rasterize(
             )
 
             inside = jnp.all(bary >= 0.0, axis=-1) & (jnp.abs(area) > 1e-9)[None, :]
-            z_px = jnp.einsum("pcj,cj->pc", bary, tz)
+            z_px = jnp.einsum("pcj,cj->pc", bary, tz, precision=lax.Precision.HIGHEST)
             z_masked = jnp.where(inside, z_px, _BIG)
 
             chunk_best = jnp.argmin(z_masked, axis=1)  # (P,)
@@ -135,7 +135,10 @@ def rasterize(
             win_bary = jnp.take_along_axis(
                 bary, chunk_best[:, None, None], axis=1
             )[:, 0]  # (P, 3)
-            win_attr = jnp.einsum("pj,pjc->pc", win_bary, ta[chunk_best])
+            win_attr = jnp.einsum(
+                "pj,pjc->pc", win_bary, ta[chunk_best],
+                precision=lax.Precision.HIGHEST,
+            )
             new_z = jnp.where(take, chunk_z, best_z)
             new_attr = jnp.where(take[:, None], win_attr, best_attr)
             return (new_z, new_attr), None
