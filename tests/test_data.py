@@ -216,6 +216,24 @@ class TestPipelineHardening:
         with pytest.raises(FileNotFoundError):
             ds_eval[2]
 
+    def test_set_start_batch_skips_at_index_level(self, fake_dataset):
+        """Mid-epoch resume skip: the loader drops the first N batches from
+        the work list BEFORE loading (no decode for skipped samples), and
+        the remaining batches equal the tail of a full epoch."""
+        cfg = tiny_config()
+        ds = NpzDataset(cfg, str(fake_dataset / "labels.npz"),
+                        str(fake_dataset / "images"), is_train=True)
+        full = list(BatchLoader(ds, batch_size=2, shuffle=False, num_workers=1))
+        loader = BatchLoader(ds, batch_size=2, shuffle=False, num_workers=1)
+        loader.set_start_batch(2)
+        tail = list(loader)
+        assert len(tail) == len(full) - 2
+        np.testing.assert_array_equal(
+            tail[0]["sample_index"], full[2]["sample_index"]
+        )
+        # single-use: the next iteration is a full epoch again
+        assert len(list(loader)) == len(full)
+
     def test_deterministic_epoch_repeat(self, fake_dataset):
         """Same (seed, epoch, index) -> bit-identical augmented sample, even
         across loader worker threading; new epoch -> fresh draws."""

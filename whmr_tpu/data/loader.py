@@ -39,12 +39,21 @@ class BatchLoader:
         self.drop_last = drop_last
         self.prefetch = prefetch
         self.epoch = 0
+        self.start_batch = 0
 
     def set_epoch(self, epoch: int):
         """Reshuffle per epoch (reference sampler.set_epoch, trainer.py:324)."""
         self.epoch = epoch
         if hasattr(self.dataset, "set_epoch"):
             self.dataset.set_epoch(epoch)
+
+    def set_start_batch(self, n: int):
+        """Mid-epoch resume: the next iteration skips the first n batches at
+        the INDEX level (no decode/augment work for skipped samples — an
+        itertools.islice over the live iterator would still run the full
+        pipeline for every skipped sample). Single-use: resets after one
+        epoch."""
+        self.start_batch = int(n)
 
     def _epoch_indices(self) -> np.ndarray:
         n = len(self.dataset)
@@ -64,6 +73,10 @@ class BatchLoader:
         stop = threading.Event()
 
         work = list(indices[: n_batches * self.batch_size]) if self.drop_last else list(indices)
+        if self.start_batch:
+            work = work[self.start_batch * self.batch_size:]
+            n_batches = max(n_batches - self.start_batch, 0)
+            self.start_batch = 0
         work_iter = iter(enumerate(work))
         lock = threading.Lock()
 

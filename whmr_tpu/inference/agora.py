@@ -58,29 +58,27 @@ def export_person(
     focal_length: float,
     mode: str = "test",
 ) -> str:
-    """Write one per-person pkl (val_results.py:127-157)."""
-    import jax.numpy as jnp
+    """Write one per-person pkl (val_results.py:127-157).
 
-    from whmr_tpu.ops.camera import (
-        convert_pare_to_full_img_cam,
-        perspective_projection,
-    )
-
+    All math is host-side numpy — the same formulas as
+    ops/camera.convert_pare_to_full_img_cam / perspective_projection, but
+    eager per-person jnp ops would each be a tunnel round trip on remote
+    TPU transports (CLAUDE.md: never run eager device ops in a host loop),
+    turning a 100k-crop export into an hours-long job.
+    """
     h, w = AGORA_RES
-    cam_t = convert_pare_to_full_img_cam(
-        jnp.asarray(pred_cam[None]),
-        jnp.asarray([bbox_height]),
-        jnp.asarray(bbox_center[None]),
-        jnp.asarray([w]),
-        jnp.asarray([h]),
-        focal_length=jnp.asarray([focal_length]),
-    )
-    camera_center = jnp.asarray([[w / 2.0, h / 2.0]])  # (640, 360)
-    joints2d = perspective_projection(
-        jnp.asarray(smpl_joints3d[None]), None, cam_t, focal_length, camera_center
+    s, tx, ty = float(pred_cam[0]), float(pred_cam[1]), float(pred_cam[2])
+    tz = 2.0 * focal_length / (bbox_height * s)
+    cx = 2.0 * (float(bbox_center[0]) - w / 2.0) / (s * bbox_height)
+    cy = 2.0 * (float(bbox_center[1]) - h / 2.0) / (s * bbox_height)
+    cam_t = np.array([tx + cx, ty + cy, tz], np.float64)
+    pts = np.asarray(smpl_joints3d, np.float64) + cam_t
+    joints2d = (
+        focal_length * pts[:, :2] / pts[:, 2:3]
+        + np.array([w / 2.0, h / 2.0])
     )
     payload = {
-        "joints": np.asarray(joints2d[0][:24]) * AGORA_UPSCALE,
+        "joints": joints2d[:24].astype(np.float32) * AGORA_UPSCALE,
         "verts": np.asarray(verts),
         "allSmplJoints3d": np.asarray(smpl_joints3d)[:24],
     }

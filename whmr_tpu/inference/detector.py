@@ -72,7 +72,11 @@ def _components_to_detections(
         x, y, bw, bh, area = stats[i]
         if not (min_area_frac <= area / area_img <= max_area_frac):
             continue
-        aspect = bh / max(bw, 1)
+        # Aspect in FRAME space: the mask is anisotropically resized (e.g.
+        # a 1280x720 frame into a 256x192 mask), so mask-space bh/bw is
+        # inflated by scale_x/scale_y (~2.4x for 16:9 into 4:3) and a tall
+        # standing person would wrongly fail the gate.
+        aspect = (bh * scale_y) / max(bw * scale_x, 1e-6)
         if not (aspect_range[0] <= aspect <= aspect_range[1]):
             continue
         dets.append(

@@ -149,6 +149,16 @@ def main(argv=None):
             "camera). Provide eval labels with cam_rotmat (reference "
             "eval.py:157-163) or pass --allow_identity_cam to proceed."
         )
+    if ds.cam_rotmat is not None and ds.global_pose is None:
+        # Predictions are world-frame (rotated by cam_rotmat) but GT would
+        # fall back to the crop-local 'pose' — frames would silently
+        # mismatch and inflate MPJPE/PVE (PA-MPJPE hides it).
+        raise SystemExit(
+            "labels carry 'cam_rotmat' but no 'global_pose': world-frame "
+            "predictions would be scored against camera-frame GT. Provide "
+            "'global_pose' (reference eval labels carry both) or drop "
+            "cam_rotmat and pass --allow_identity_cam for camera-frame eval."
+        )
 
     gendered_smpl = None
     if args.gendered:
@@ -234,6 +244,9 @@ def run_parts_evaluation(args, cfg, model, variables, consts, assets, ds, loader
             if not os.path.exists(gt_path):
                 continue
             gt_full = cv2.imread(gt_path, cv2.IMREAD_GRAYSCALE)
+            if gt_full is None:
+                print(f"[eval] WARNING: unreadable GT part map skipped: {gt_path}")
+                continue
             # GT part maps are full-image; crop with the eval bbox,
             # nearest-neighbor so labels stay integral.
             gt_crop = crop_image(

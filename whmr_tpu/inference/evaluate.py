@@ -136,12 +136,10 @@ def make_eval_step(
         err = jnp.sqrt(jnp.sum((pred_j - gt_j) ** 2, axis=-1)).mean(axis=-1)
         aligned = batch_compute_similarity_transform(pred_j, gt_j)
         err_pa = jnp.sqrt(jnp.sum((aligned - gt_j) ** 2, axis=-1)).mean(axis=-1)
-        # PVE on pelvis-aligned vertices (eval.py:204-210 subtracts pelvis).
-        pred_pel = select_pelvis(consts, pred_verts)
-        gt_pel = select_pelvis(consts, gt_verts)
-        pve = jnp.sqrt(
-            jnp.sum(((pred_verts - pred_pel) - (gt_verts - gt_pel)) ** 2, axis=-1)
-        ).mean(axis=-1)
+        # PVE is RAW per-vertex error — the reference protocol does not
+        # pelvis-align vertices (eval.py:207-209, trainer.py:882; only the
+        # JOINT metrics center on the pelvis).
+        pve = jnp.sqrt(jnp.sum((pred_verts - gt_verts) ** 2, axis=-1)).mean(axis=-1)
         sums = (
             jnp.sum(err * valid),
             jnp.sum(err_pa * valid),
@@ -165,13 +163,6 @@ def make_eval_step(
         return sums, extras
 
     return jax.jit(step)
-
-
-def select_pelvis(consts: BodyConsts, verts: jnp.ndarray) -> jnp.ndarray:
-    from whmr_tpu.models.smpl import vertices2joints
-
-    joints = vertices2joints(consts.j_regressor_h36m, verts)
-    return joints[:, :1]
 
 
 def run_evaluation(

@@ -305,9 +305,11 @@ class DemoPipeline:
             )
 
         for fname in names:
-            img = np.ascontiguousarray(
-                cv2.imread(os.path.join(image_folder, fname))[:, :, ::-1]
-            )
+            raw = cv2.imread(os.path.join(image_folder, fname))
+            if raw is None:
+                print(f"[demo] WARNING: unreadable image skipped: {fname}")
+                continue
+            img = np.ascontiguousarray(raw[:, :, ::-1])
             queue.append((fname, img, self.dispatch_image(img, fname)))
             if len(queue) > 1:
                 drain()

@@ -41,6 +41,7 @@ def main(argv=None):
 
     enable_compile_cache()
 
+    import jax
     import jax.numpy as jnp
 
     from whmr_tpu.config import WHMRConfig, load_yaml
@@ -86,7 +87,13 @@ def main(argv=None):
         )
 
     def loader_factory(epoch):
-        loader = BatchLoader(dataset, cfg.train.batch_size)
+        # Per-host disjoint data slices (DistributedSampler equivalent):
+        # without this, every host of a multi-host run would feed the same
+        # samples and the cross-host data parallelism would be wasted.
+        loader = BatchLoader(
+            dataset, cfg.train.batch_size,
+            num_hosts=jax.process_count(), host_index=jax.process_index(),
+        )
         loader.set_epoch(epoch)
         return loader
 

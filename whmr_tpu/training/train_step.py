@@ -128,8 +128,11 @@ def train_step(
     gt_rotmats = batch_rodrigues(batch["pose"].reshape(-1, 3)).reshape(-1, 24, 3, 3)
     gt_out = smpl_forward(consts.smpl, batch["betas"], gt_rotmats)
     gt_vertices = gt_out.vertices
-    gt_sub = jnp.einsum("sv,bvk->bsk", consts.dmap0, gt_vertices)
-    gt_temp = jnp.einsum("ts,bsk->btk", consts.dmap1, gt_sub)
+    # HIGHEST precision: these are loss TARGETS — bf16 downsampling would
+    # add mm-scale noise to the sub/temp vertex losses.
+    hi = jax.lax.Precision.HIGHEST
+    gt_sub = jnp.einsum("sv,bvk->bsk", consts.dmap0, gt_vertices, precision=hi)
+    gt_temp = jnp.einsum("ts,bsk->btk", consts.dmap1, gt_sub, precision=hi)
 
     uvia_gt = batch.get("uvia_gt")
     depth_gt = batch.get("depth_gt")

@@ -86,7 +86,7 @@ class Trainer:
 
         example = make_example_inputs(cfg, batch=2)
         args = {
-            ("x" if k == "x" else k): jnp.asarray(v) for k, v in example.items()
+            k: jnp.asarray(v) for k, v in example.items()
         }
         self.state = create_train_state(
             cfg, self.model, self.consts, jax.random.PRNGKey(seed), args,
@@ -193,13 +193,20 @@ class Trainer:
 
         sharding = batch_sharding(self.mesh)
         last = {}
-        it = iter(loader)
-        if start_batch:
-            # Mid-epoch resume: fast-forward past already-trained batches
-            # (reference trainer.py:346 skip via checkpoint_batch_idx).
-            import itertools
+        # Mid-epoch resume: fast-forward past already-trained batches
+        # (reference trainer.py:346 skip via checkpoint_batch_idx). Prefer
+        # the loader's index-level skip (no decode/augment work for skipped
+        # samples); islice over a generic iterable still pays full pipeline
+        # cost per skipped sample.
+        if start_batch and hasattr(loader, "set_start_batch"):
+            loader.set_start_batch(start_batch)
+            it = iter(loader)
+        else:
+            it = iter(loader)
+            if start_batch:
+                import itertools
 
-            it = itertools.islice(it, start_batch, None)
+                it = itertools.islice(it, start_batch, None)
         # Keep 2 batches in flight on device: host augmentation overlaps
         # device compute (replaces DataLoader prefetch_factor, trainer.py:143).
         for i, batch in enumerate(
