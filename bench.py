@@ -51,20 +51,34 @@ def main():
     inp = make_example_inputs(cfg, batch)
     args = {k: jnp.asarray(v) for k, v in inp.items()}
 
+    # Complete param tree (CLAUDE.md invariant): init includes a small
+    # full_x so the CamCalib branch exists (input-size independent).
+    init_args = dict(args)
+    init_args["full_x"] = jnp.zeros((batch, 64, 64, 3), jnp.float32)
     variables = jax.jit(
         lambda c, a: model.init({"params": jax.random.PRNGKey(0)}, c, **a)
-    )(consts, args)
+    )(consts, init_args)
 
     def fwd(v, c, a):
+        # Consume BOTH the camera-frame and the world-frame outputs: the
+        # global-orient head + world SMPL forward feed only global_output,
+        # and returning just smpl_out would let XLA dead-code-eliminate
+        # them — the benchmark must measure the graph it claims to.
         out = model.apply(v, c, **a)
-        return out["smpl_out"][-1]["verts"]
+        return (
+            out["smpl_out"][-1]["verts"],
+            out["global_output"]["global_verts"],
+        )
 
     @jax.jit
     def chained(v, c, a):
         def body(i, carry):
             aa = dict(a)
             aa["x"] = a["x"] + (carry * 0).astype(a["x"].dtype)
-            return carry + jnp.sum(fwd(v, c, aa).astype(jnp.float32))
+            verts, gverts = fwd(v, c, aa)
+            return carry + jnp.sum(verts.astype(jnp.float32)) + jnp.sum(
+                gverts.astype(jnp.float32)
+            )
 
         return lax.fori_loop(0, iters, body, jnp.float32(0))
 

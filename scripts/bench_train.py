@@ -31,7 +31,7 @@ def bench_render(batch: int):
     from whmr_tpu.models.smpl import smpl_forward
     from whmr_tpu.models.regressor import body_consts_from_assets
     from whmr_tpu.ops.rasterizer import project_weak_perspective_to_pixels
-    from whmr_tpu.ops.rasterizer_pallas import rasterize_pallas, spatial_sort_faces
+    from whmr_tpu.ops.rasterizer_pallas import rasterize_pallas
     from whmr_tpu.training.gt_renderer import build_render_consts
 
     assets = synthetic_smpl_assets()
@@ -49,7 +49,7 @@ def bench_render(batch: int):
             axis=-1,
         ).astype(np.float32)
     )
-    rc = build_render_consts(assets)  # Morton-sorted faces
+    rc = build_render_consts(assets)  # KD-sorted faces
     faces_unsorted = np.asarray(assets.faces)
     iters = 20
 
@@ -104,6 +104,46 @@ def bench_render(batch: int):
         }))
 
 
+def _make_keypoints_consistent(consts, batch_np, batch: int):
+    """Replace the random 2D keypoints with geometrically-consistent ones
+    (GT joints projected through a plausible crop camera): the GT-camera
+    LSQ then recovers a sane body-sized projection, which is what real
+    training data gives the rasterizer's tile culling. Random keypoints
+    produce degenerate cameras that defeat culling (measured 38 ms vs
+    12 ms GT render) and would misattribute render cost in any bench."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from whmr_tpu.config import FOCAL_LENGTH
+    from whmr_tpu.models.smpl import smpl_forward
+    from whmr_tpu.ops.rotation import batch_rodrigues
+
+    @jax.jit
+    def gt_joints(smpl_c, pose, betas):
+        rm = batch_rodrigues(pose.reshape(-1, 3)).reshape(-1, 24, 3, 3)
+        return smpl_forward(smpl_c, betas, rm).joints
+
+    joints = np.asarray(
+        gt_joints(consts.smpl, jnp.asarray(batch_np["pose"]), jnp.asarray(batch_np["betas"]))
+    )
+    rng_np = np.random.RandomState(7)
+    s = rng_np.uniform(0.7, 1.1, (batch, 1, 1))
+    t = np.concatenate(
+        [
+            rng_np.uniform(-0.1, 0.1, (batch, 1, 2)),
+            2.0 * FOCAL_LENGTH / (256.0 * s),
+        ],
+        axis=-1,
+    )
+    pj = joints + t
+    pix = FOCAL_LENGTH * pj[..., :2] / pj[..., 2:3] + 128.0
+    batch_np["keypoints"] = np.concatenate(
+        [2.0 * pix / 256.0 - 1.0, np.ones((batch, joints.shape[1], 1))], -1
+    ).astype(np.float32)
+    return batch_np
+
+
 def bench_step(batch: int, aux: bool, depth: bool | None = None, tag: str = ""):
     import jax
     import jax.numpy as jnp
@@ -135,40 +175,9 @@ def bench_step(batch: int, aux: bool, depth: bool | None = None, tag: str = ""):
         cfg, model, consts, jax.random.PRNGKey(0),
         {k: jnp.asarray(v) for k, v in inp.items()},
     )
-    batch_np = make_example_train_batch(cfg, batch)
-    # Replace the random 2D keypoints with geometrically-consistent ones
-    # (GT joints projected through a plausible crop camera): the GT-camera
-    # LSQ then recovers a sane body-sized projection, which is what real
-    # training data gives the rasterizer's tile culling. Random keypoints
-    # produce degenerate cameras that defeat culling (measured 38 ms vs
-    # 12 ms GT render).
-    import numpy as np
-    from whmr_tpu.config import FOCAL_LENGTH
-    from whmr_tpu.models.smpl import smpl_forward
-    from whmr_tpu.ops.rotation import batch_rodrigues
-
-    @jax.jit
-    def gt_joints(smpl_c, pose, betas):
-        rm = batch_rodrigues(pose.reshape(-1, 3)).reshape(-1, 24, 3, 3)
-        return smpl_forward(smpl_c, betas, rm).joints
-
-    joints = np.asarray(
-        gt_joints(consts.smpl, jnp.asarray(batch_np["pose"]), jnp.asarray(batch_np["betas"]))
+    batch_np = _make_keypoints_consistent(
+        consts, make_example_train_batch(cfg, batch), batch
     )
-    rng_np = np.random.RandomState(7)
-    s = rng_np.uniform(0.7, 1.1, (batch, 1, 1))
-    t = np.concatenate(
-        [
-            rng_np.uniform(-0.1, 0.1, (batch, 1, 2)),
-            2.0 * FOCAL_LENGTH / (256.0 * s),
-        ],
-        axis=-1,
-    )
-    pj = joints + t
-    pix = FOCAL_LENGTH * pj[..., :2] / pj[..., 2:3] + 128.0
-    batch_np["keypoints"] = np.concatenate(
-        [2.0 * pix / 256.0 - 1.0, np.ones((batch, joints.shape[1], 1))], -1
-    ).astype(np.float32)
     batch_d = {k: jnp.asarray(v) for k, v in batch_np.items()}
     iters = 5
 
@@ -202,7 +211,6 @@ def bench_bisect(batch: int):
     import jax.numpy as jnp
     from jax import lax
     from dataclasses import replace
-    import functools
 
     from whmr_tpu.config import WHMRConfig
     from whmr_tpu.data.assets import synthetic_smpl_assets
@@ -215,7 +223,9 @@ def bench_bisect(batch: int):
     assets = synthetic_smpl_assets()
     consts = body_consts_from_assets(assets)
     rc = build_render_consts(assets)
-    batch_np = make_example_train_batch(WHMRConfig(), batch)
+    batch_np = _make_keypoints_consistent(
+        consts, make_example_train_batch(WHMRConfig(), batch), batch
+    )
     batch_d = {k: jnp.asarray(v) for k, v in batch_np.items()}
     iters = 10
 

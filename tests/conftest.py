@@ -8,20 +8,30 @@ alone is not enough — `jax.config.update` must run before any backend use.
 """
 
 import os
+import re
 
+# Force EXACTLY 8 devices: an inherited count (e.g. left over from a
+# dryrun_multichip experiment) would silently shrink the test mesh and
+# break the documented dp=4 x tp=2 sharding tests.
 flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+if "xla_force_host_platform_device_count" in flags:
+    flags = re.sub(
+        r"--xla_force_host_platform_device_count=\d+",
+        "--xla_force_host_platform_device_count=8", flags,
+    )
+else:
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["XLA_FLAGS"] = flags
 
 import jax
 
 jax.config.update("jax_platforms", "cpu")
 # Persistent compile cache: the suite is compile-dominated (full ViT/train
-# graphs); warm reruns skip XLA compilation entirely.
-jax.config.update("jax_compilation_cache_dir", "/tmp/whmr_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# graphs); warm reruns skip XLA compilation entirely. Shared helper so the
+# cache path/threshold stay in lockstep with bench.py and the CLIs.
+from whmr_tpu.utils.profiling import enable_compile_cache
+
+enable_compile_cache()
 
 import numpy as np
 import pytest

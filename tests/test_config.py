@@ -38,11 +38,15 @@ class TestYaml:
         y.write_text(textwrap.dedent("""
             SOLVER:
               BASE_LR: 0.0001
+              GAMMA: 0.5
+              EPOCHS: [100, 150]
             TRAIN:
               STAGE: 1
               BATCH_SIZE: 16
             LOSS:
               KP_3D_W: 150.0
+              INDEX_WEIGHTS: 5.0
+              PART_WEIGHTS: 0.6
             MODEL:
               PyMAF:
                 BACKBONE: 'res50'
@@ -57,6 +61,12 @@ class TestYaml:
         assert cfg.loss.kp_3d_w == 150.0
         assert cfg.pymaf.backbone == "res50"
         assert cfg.pymaf.aux_supv_on is False
+        # 1:1 mappings previously dropped silently (round-2 review finding)
+        assert cfg.loss.index_weights == 5.0
+        assert cfg.loss.part_weights == 0.6
+        assert cfg.train.lr_gamma == 0.5
+        assert cfg.train.lr_decay_epochs == (100, 150)  # tuple-ized: hashable
+        hash(cfg)  # frozen config must stay jit-static
 
 
 class TestPresets:

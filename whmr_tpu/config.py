@@ -168,8 +168,11 @@ class WHMRConfig:
         return (self.img_res[1], self.img_res[0])
 
     @property
-    def grid_hw(self) -> Tuple[int, int]:
-        """Fixed sample-grid size of MAF step 0 (reference whmr.py:338-346)."""
+    def points_grid_wh(self) -> Tuple[int, int]:
+        """Fixed sample-grid size of MAF step 0 (reference whmr.py:338-346).
+
+        Returns (grid_width, grid_height) — note the reversed order vs
+        ViTConfig.grid_hw, matching the reference's own naming."""
         if self.pymaf.backbone == "vitpose":
             return (7, 9)  # grid_width=7, grid_height=9 (whmr.py:341-343)
         return (8, 8)
@@ -185,11 +188,8 @@ class WHMRConfig:
 
 def _replace_path(obj: Any, parts: list, value: Any) -> Any:
     if len(parts) == 1:
-        fields = {f.name: f for f in dataclasses.fields(obj)}
-        f = fields[parts[0]]
-        typ = f.type
+        current = getattr(obj, parts[0])
         if isinstance(value, str):
-            current = getattr(obj, parts[0])
             if isinstance(current, bool):
                 value = value.lower() in ("1", "true", "yes", "on")
             elif isinstance(current, int):
@@ -202,7 +202,10 @@ def _replace_path(obj: Any, parts: list, value: Any) -> Any:
                 elem = type(current[0]) if current else float
                 items = value.replace("(", "").replace(")", "").replace(",", " ").split()
                 value = tuple(elem(v) for v in items)
-        del typ
+        elif isinstance(value, list) and isinstance(current, tuple):
+            # YAML lists land as python lists; tuple-ize so the frozen
+            # config stays hashable (jit-static requirement).
+            value = tuple(value)
         return replace(obj, **{parts[0]: value})
     child = getattr(obj, parts[0])
     return replace(obj, **{parts[0]: _replace_path(child, parts[1:], value)})
@@ -236,6 +239,12 @@ def load_yaml(path: str) -> WHMRConfig:
         ("LOSS", "VERT_W"): "loss.vert_w",
         ("LOSS", "POINT_REGRESSION_WEIGHTS"): "loss.point_regression_weights",
         ("LOSS", "FOCAL_WEIGHTS"): "loss.focal_weights",
+        ("LOSS", "INDEX_WEIGHTS"): "loss.index_weights",
+        ("LOSS", "PART_WEIGHTS"): "loss.part_weights",
+        ("LOSS", "OPENPOSE_TRAIN_WEIGHT"): "loss.openpose_train_weight",
+        ("LOSS", "GT_TRAIN_WEIGHT"): "loss.gt_train_weight",
+        ("SOLVER", "GAMMA"): "train.lr_gamma",
+        ("SOLVER", "EPOCHS"): "train.lr_decay_epochs",
     }
     overrides = {}
     for keys, dst in mapping.items():

@@ -144,7 +144,7 @@ class WHMR(nn.Module):
         if c.pymaf.depth_supv_on:
             self.dpth_head = DepthHead(dtype=self.dtype, name="dpth_head")
 
-        self.points_grid = jnp.asarray(make_points_grid(self.cfg.grid_hw))
+        self.points_grid = jnp.asarray(make_points_grid(self.cfg.points_grid_wh))
 
     def __call__(
         self,

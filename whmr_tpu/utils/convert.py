@@ -315,7 +315,7 @@ def synthetic_reference_state_dict(cfg, seed: int = 0) -> Dict[str, np.ndarray]:
         add(pre + "Dmap", 431, 6890)
 
     # regressors (whmr.py:42-70)
-    gw, gh = cfg.grid_hw
+    gw, gh = cfg.points_grid_wh
     for i in range(3):
         feat = gw * gh * m[-1] if i == 0 else cfg.pymaf.n_markers * m[-1]
         pre = f"regressor.{i}."
