@@ -1,10 +1,13 @@
 """Tests for whmr_tpu.ops.camera: projection invariants + translation LSQ."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
 from whmr_tpu.config import FOCAL_LENGTH
 from whmr_tpu.ops import camera as C
+
+pytestmark = pytest.mark.smoke
 
 
 class TestPerspectiveProjection:

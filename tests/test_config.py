@@ -2,7 +2,11 @@
 
 import textwrap
 
+import pytest
+
 from whmr_tpu.config import WHMRConfig, load_yaml, vit_huge, vit_large
+
+pytestmark = pytest.mark.smoke
 
 
 class TestOverrides:

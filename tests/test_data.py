@@ -41,6 +41,7 @@ def fake_dataset(tmp_path_factory):
     return root
 
 
+@pytest.mark.smoke
 class TestCropMath:
     def test_crop_center_identity(self):
         """A landmark at the bbox center maps to the crop center."""
@@ -75,6 +76,7 @@ class TestCropMath:
         assert np.abs(y0 - y1).max() > 20  # block moved to the side
 
 
+@pytest.mark.smoke
 class TestFlips:
     def test_flip_pose_involution(self, rng):
         pose = rng.randn(72).astype(np.float32)

@@ -4,12 +4,15 @@ The MAF feature pooling depends on exact bilinear semantics
 (reference maf_extractor.py:117-121); torch-cpu is the golden oracle.
 """
 
+import pytest
 import numpy as np
 import torch
 import torch.nn.functional as F
 import jax.numpy as jnp
 
 from whmr_tpu.ops.grid_sample import grid_sample_2d
+
+pytestmark = pytest.mark.smoke
 
 
 def torch_reference(feat_nhwc, points):

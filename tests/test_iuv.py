@@ -1,9 +1,12 @@
 """IUV codec round-trip tests (SURVEY.md §4: iuvmap.py:67 <-> :5)."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
 from whmr_tpu.ops.iuv import INDEX2MASK, iuv_img2map, iuv_map2img
+
+pytestmark = pytest.mark.smoke
 
 
 def random_iuv_image(rng, b=2, h=16, w=16):

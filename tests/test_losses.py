@@ -1,9 +1,12 @@
 """Direct unit tests for training/losses.py semantics."""
 
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
 from whmr_tpu.training import losses as L
+
+pytestmark = pytest.mark.smoke
 
 
 class TestMaskedMean:

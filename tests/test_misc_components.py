@@ -6,10 +6,12 @@ import pickle
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from whmr_tpu.data.kp_formats import FORMATS, convert_kps, get_perm_idxs
 
 
+@pytest.mark.smoke
 class TestKpFormats:
     def test_coco_to_common(self, rng):
         kp = rng.randn(2, 17, 3).astype(np.float32)

@@ -1,10 +1,13 @@
 """Tests for batched Procrustes alignment and pose metrics."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 from scipy.spatial.transform import Rotation as ScipyRot
 
 from whmr_tpu.ops import procrustes as P
+
+pytestmark = pytest.mark.smoke
 
 
 class TestSimilarityTransform:

@@ -11,6 +11,8 @@ from scipy.spatial.transform import Rotation as ScipyRot
 
 from whmr_tpu.ops import rotation as R
 
+pytestmark = pytest.mark.smoke
+
 
 def random_rotmats(rng, n=32):
     return ScipyRot.random(n, random_state=rng).as_matrix().astype(np.float32)
