@@ -356,7 +356,10 @@ def synthetic_smpl_assets(seed: int = 0) -> SMPLAssets:
 
     # Mean params: identity rotations in rot6d, zero shape, s~0.9 camera
     # (same layout as data/smpl_mean_params.npz consumed at whmr.py:62-67).
-    ident6d = np.tile(np.array([1, 0, 0, 0, 1, 0], np.float32), (24, 1))
+    # NOTE the rot6d layout is INTERLEAVED per reference geometry.py:243-257
+    # (x.view(-1, 3, 2): a1 = elements 0,2,4; a2 = 1,3,5), so the identity is
+    # [1,0,0,1,0,0] — caught by the full-graph torch-oracle parity test.
+    ident6d = np.tile(np.array([1, 0, 0, 1, 0, 0], np.float32), (24, 1))
     return SMPLAssets(
         v_template=v_template,
         shapedirs=shapedirs.astype(np.float32),

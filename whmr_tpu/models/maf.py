@@ -46,7 +46,13 @@ class MAFExtractor(nn.Module):
                 y = nn.leaky_relu(y, negative_slope=0.01)
         y = nn.relu(y)
         b = y.shape[0]
-        return y.reshape(b, -1)
+        # Flatten CHANNEL-major, matching the reference's (B, C_p, N) .view
+        # (maf_extractor.py:100): converted regressor/global-orient fc1
+        # weights index features as c*N + n, so the flatten order is part of
+        # the checkpoint format. The (B, N, C) -> (B, C, N) transpose is a
+        # tiny layout op XLA fuses away (found by the full-graph torch-oracle
+        # parity test, tests/test_parity_full_graph.py).
+        return y.transpose(0, 2, 1).reshape(b, -1)
 
     def sampling(
         self, im_feat: jnp.ndarray, points: jnp.ndarray
