@@ -44,6 +44,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="proceed with identity cam_rotmat when labels lack it")
     p.add_argument("--eval_parts", action="store_true",
                    help="LSP mask/part-segmentation protocol")
+    p.add_argument("--coco_ap", action="store_true",
+                   help="COCO keypoint OKS-AP protocol (reference "
+                        "datasets/coco_keypoint_dataset.py via pycocotools)")
+    p.add_argument("--coco_gt", default=None,
+                   help="COCO person_keypoints annotation json for --coco_ap")
     p.add_argument("--parts_dir", default=None,
                    help="directory of GT part maps (one png per sample)")
     p.add_argument("--parts_template", default="{stem}.png",
@@ -142,6 +147,17 @@ def main(argv=None):
         )
         return
 
+    if args.coco_ap:
+        if not args.coco_gt:
+            raise SystemExit("--coco_ap requires --coco_gt annotations.json")
+        result = run_coco_ap_evaluation(args, cfg, model, variables, consts, ds, loader)
+        print(
+            "*** Final Results ***\n"
+            f"AP: {result['AP']:.4f}\nAP50: {result['AP50']:.4f}\n"
+            f"AP75: {result['AP75']:.4f}\nAR: {result['AR']:.4f}"
+        )
+        return
+
     if ds.cam_rotmat is None and not args.allow_identity_cam:
         raise SystemExit(
             "labels carry no 'cam_rotmat': world-frame metrics would be "
@@ -194,6 +210,76 @@ def main(argv=None):
         f"*** Final Results ***\nPVE: {result['pve']:.2f}\n"
         f"MPJPE: {result['mpjpe']:.2f}\nPA-MPJPE (Reconstruction Error): {result['pa_mpjpe']:.2f}"
     )
+
+
+def run_coco_ap_evaluation(args, cfg, model, variables, consts, ds, loader):
+    """COCO keypoint OKS-AP protocol (VERDICT round-2 item 4).
+
+    Reference counterpart: datasets/coco_keypoint_dataset.py:16 +
+    datasets/JointsDataset.py score predictions with pycocotools
+    COCOeval(iouType='keypoints'); here the model's 49-joint full-image
+    keypoints (kp_2d_w, normalized to [-1, 1]) are unnormalized to pixels,
+    mapped to COCO-17 by name, and scored by the native OKS-AP
+    implementation (inference/coco_eval.py)."""
+    import json
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from whmr_tpu.inference.coco_eval import (
+        evaluate_oks_ap,
+        load_coco_gt,
+        spin49_to_coco17,
+    )
+
+    gts = load_coco_gt(args.coco_gt)
+    with open(args.coco_gt) as f:
+        name_to_id = {
+            os.path.basename(im["file_name"]): im["id"]
+            for im in json.load(f)["images"]
+        }
+
+    def fwd(variables, consts, batch):
+        preds = model.apply(
+            variables, consts, batch["img"], batch["center"], batch["scale"],
+            batch["bbox_height"], batch["orig_shape"], batch["bbox_info"],
+            train=False, cam_rotmat=batch["cam_rotmat"],
+        )
+        return preds["smpl_out"][-1]["kp_2d_w"]
+
+    fwd_j = jax.jit(fwd)
+    det_score = getattr(ds, "det_score", None)
+    dts = {}
+    for host_batch in loader:
+        b = {k: jnp.asarray(v) for k, v in host_batch.items()
+             if k in ("img", "center", "scale", "bbox_height", "orig_shape",
+                      "bbox_info")}
+        n = b["img"].shape[0]
+        b["cam_rotmat"] = jnp.broadcast_to(jnp.eye(3), (n, 3, 3))
+        kp_w = np.asarray(fwd_j(variables, consts, b))  # (B, 49, 2) in [-1,1]
+        # unnormalize: px = (kp + 1) * (W/2, H/2) (inverse of regressor.py
+        # kp_2d_w normalization)
+        centers = host_batch["orig_shape"][:, ::-1] / 2.0  # (W/2, H/2)
+        kp_px = (kp_w + 1.0) * centers[:, None, :]
+        kp17, _ = spin49_to_coco17(kp_px)
+        for i in range(n):
+            idx = int(host_batch["sample_index"][i])
+            name = os.path.basename(str(ds.imgname[idx]))
+            if name not in name_to_id:
+                print(f"[eval] WARNING: no COCO image entry for {name}; skipped")
+                continue
+            img_id = name_to_id[name]
+            entry = dts.setdefault(img_id, {"kps": [], "scores": []})
+            entry["kps"].append(kp17[i])
+            entry["scores"].append(
+                float(det_score[idx]) if det_score is not None else 1.0
+            )
+    dts = {
+        k: {"kps": np.stack(v["kps"]), "scores": np.asarray(v["scores"])}
+        for k, v in dts.items()
+    }
+    return evaluate_oks_ap(gts, dts)
 
 
 def run_parts_evaluation(args, cfg, model, variables, consts, assets, ds, loader):
