@@ -92,3 +92,250 @@ def colormap_depth(depth: np.ndarray, mask: Optional[np.ndarray] = None) -> np.n
     vis = cv2.applyColorMap((norm * 255).astype(np.uint8), cv2.COLORMAP_JET)
     vis[~mask] = 0
     return vis[:, :, ::-1]
+
+
+# ---------------------------------------------------------------------------
+# Batch joint-plot grids (reference utils/vis.py:378-541) and UV panels
+# (reference utils/uv_vis.py:68-112)
+# ---------------------------------------------------------------------------
+
+def make_image_grid(
+    images: np.ndarray,
+    nrow: int = 8,
+    padding: int = 1,
+    pad_value: float = 1.0,
+    normalize: bool = True,
+) -> np.ndarray:
+    """Tile a batch (B, H, W, 3) into one grid image (torchvision
+    make_grid equivalent used by vis_batch_image_with_joints)."""
+    b, h, w, c = images.shape
+    xmaps = min(nrow, b)
+    ymaps = -(-b // xmaps)
+    imgs = images.astype(np.float32)
+    if normalize:
+        lo, hi = imgs.min(), imgs.max()
+        imgs = (imgs - lo) / max(hi - lo, 1e-9)
+    grid = np.full(
+        (ymaps * (h + padding) + padding, xmaps * (w + padding) + padding, c),
+        pad_value, np.float32,
+    )
+    for k in range(b):
+        y, x = divmod(k, xmaps)
+        gy = y * (h + padding) + padding
+        gx = x * (w + padding) + padding
+        grid[gy:gy + h, gx:gx + w] = imgs[k]
+    return grid
+
+
+def vis_batch_image_with_joints(
+    batch_image: np.ndarray,
+    batch_joints: np.ndarray,
+    batch_joints_vis: np.ndarray,
+    nrow: int = 8,
+    padding: int = 1,
+) -> np.ndarray:
+    """Batch grid with numbered keypoints (reference vis.py:378-424).
+
+    batch_image: (B, H, W, 3) float/uint8 (NHWC — not the reference's NCHW).
+    batch_joints: (B, J, >=2) pixel coords; batch_joints_vis: (B, J, 1).
+    Returns uint8 RGB grid; joints alternate red/green as in the reference.
+    """
+    grid = (make_image_grid(batch_image, nrow, padding) * 255).clip(0, 255)
+    ndarr = np.ascontiguousarray(grid.astype(np.uint8))
+    b, h, w = batch_image.shape[:3]
+    xmaps = min(nrow, b)
+    for k in range(b):
+        y, x = divmod(k, xmaps)
+        flip = 1
+        for count, (joint, jv) in enumerate(
+            zip(batch_joints[k], batch_joints_vis[k])
+        ):
+            jx = int(x * (w + padding) + padding + joint[0])
+            jy = int(y * (h + padding) + padding + joint[1])
+            flip *= -1
+            if jv[0]:
+                color = [255, 0, 0] if flip > 0 else [0, 255, 0]
+                cv2.circle(ndarr, (jx, jy), 1, color, 1)
+                cv2.putText(ndarr, str(count), (jx, jy),
+                            cv2.FONT_HERSHEY_SIMPLEX, 0.75, (255, 0, 0), 1)
+    return ndarr
+
+
+_JOINT_COLORS = ["#00B0F0", "#00B050", "#DC6464", "#207070", "#BC4484"]
+
+
+def _fig_to_rgb(fig) -> np.ndarray:
+    fig.canvas.draw()
+    buf = np.asarray(fig.canvas.buffer_rgba())[..., :3]
+    return buf.copy()
+
+
+def _group_of(idx: int, joint_group) -> int:
+    if joint_group is None:
+        return 1
+    for i, g in enumerate(joint_group):
+        if idx in g:
+            return i
+    return 0
+
+
+def set_axes_equal(ax) -> None:
+    """Equal aspect for 3D axes (reference vis.py:581-606 workaround for
+    matplotlib's missing 3D 'equal')."""
+    limits = np.array([ax.get_xlim3d(), ax.get_ylim3d(), ax.get_zlim3d()])
+    centers = limits.mean(axis=1)
+    radius = 0.5 * (limits[:, 1] - limits[:, 0]).max()
+    ax.set_xlim3d([centers[0] - radius, centers[0] + radius])
+    ax.set_ylim3d([centers[1] - radius, centers[1] + radius])
+    ax.set_zlim3d([centers[2] - radius, centers[2] + radius])
+
+
+def vis_img_2Djoint(
+    batch_img: Optional[np.ndarray],
+    joints: np.ndarray,
+    pairs=None,
+    joint_group=None,
+    max_show: int = 2,
+) -> np.ndarray:
+    """2D joint scatter grid (reference vis.py:485-541): optional image row
+    on top, joint scatter (grouped colors) + dotted bones below.
+    Returns the rendered figure as an RGB uint8 array."""
+    import matplotlib
+
+    matplotlib.use("Agg", force=False)
+    import matplotlib.pyplot as plt
+
+    n = min(joints.shape[0], max_show)
+    joints = joints[:n]
+    rows = 2 if batch_img is not None else 1
+    fig = plt.figure(figsize=(3 * n, 3 * rows))
+    for i in range(n):
+        if batch_img is not None:
+            ax_img = fig.add_subplot(rows, n, i + 1)
+            ax_img.imshow(np.clip(batch_img[i], 0, 1))
+            ax_img.set_axis_off()
+            ax = fig.add_subplot(rows, n, n + i + 1)
+        else:
+            ax = fig.add_subplot(rows, n, i + 1)
+        kp = joints[i]
+        if joint_group is None:
+            ax.scatter(kp[:, 0], kp[:, 1], s=300, c=_JOINT_COLORS[0], marker=".")
+        else:
+            for j, g in enumerate(joint_group):
+                ax.scatter(kp[g, 0], kp[g, 1], s=100,
+                           c=_JOINT_COLORS[j % len(_JOINT_COLORS)], marker="o")
+        if pairs is not None:
+            for p in pairs:
+                ax.plot(kp[list(p), 0], kp[list(p), 1],
+                        c=_JOINT_COLORS[_group_of(p[1], joint_group) % len(_JOINT_COLORS)],
+                        linestyle=":", linewidth=3)
+        ax.set_axis_off()
+        ax.set_aspect("equal")
+        ax.invert_yaxis()  # image convention: y grows downward
+    out = _fig_to_rgb(fig)
+    plt.close(fig)
+    return out
+
+
+def vis_img_3Djoint(
+    batch_img: Optional[np.ndarray],
+    joints: np.ndarray,
+    pairs=None,
+    joint_group=None,
+    max_show: int = 2,
+) -> np.ndarray:
+    """3D joint scatter grid (reference vis.py:427-482): scatter in
+    (z, x, y) axes order as the reference plots, grouped colors, bones,
+    equal axes. Returns an RGB uint8 array."""
+    import matplotlib
+
+    matplotlib.use("Agg", force=False)
+    import matplotlib.pyplot as plt
+
+    n = min(joints.shape[0], max_show)
+    joints = joints[:n]
+    rows = 2 if batch_img is not None else 1
+    fig = plt.figure(figsize=(3 * n, 3 * rows))
+    for i in range(n):
+        if batch_img is not None:
+            ax_img = fig.add_subplot(rows, n, i + 1)
+            ax_img.imshow(np.clip(batch_img[i], 0, 1))
+            ax_img.set_axis_off()
+            ax = fig.add_subplot(rows, n, n + i + 1, projection="3d")
+        else:
+            ax = fig.add_subplot(rows, n, i + 1, projection="3d")
+        kp = joints[i]
+        if joint_group is None:
+            ax.scatter(kp[:, 2], kp[:, 0], kp[:, 1], s=10, marker=".")
+            ax.scatter(kp[0, 2], kp[0, 0], kp[0, 1], s=10, c="g", marker=".")
+        else:
+            for j, g in enumerate(joint_group):
+                ax.scatter(kp[g, 2], kp[g, 0], kp[g, 1], s=30,
+                           c=_JOINT_COLORS[j % len(_JOINT_COLORS)], marker="s")
+        if pairs is not None:
+            for p in pairs:
+                ax.plot(kp[list(p), 2], kp[list(p), 0], kp[list(p), 1],
+                        c=_JOINT_COLORS[_group_of(p[1], joint_group) % len(_JOINT_COLORS)],
+                        linewidth=2)
+        set_axes_equal(ax)
+        ax.set_xticks([]), ax.set_yticks([]), ax.set_zticks([])
+    out = _fig_to_rgb(fig)
+    plt.close(fig)
+    return out
+
+
+def vis_smpl_iuv(
+    image: np.ndarray,
+    cam_t: np.ndarray,
+    verts: np.ndarray,
+    faces: np.ndarray,
+    pred_uv,
+    vert_errors: np.ndarray,
+    image_names: Sequence[str],
+    save_path: str,
+    focal_length: float = 5000.0,
+) -> list:
+    """Per-sample [image | mesh overlay | predicted IUV] panels
+    (reference uv_vis.py:68-112, pyrender/OpenDR replaced by the native
+    scanline renderer). Saves one png per sample named
+    '{10*PVE:06d}_{image_name}.png' like the reference; returns the paths.
+
+    Args:
+      image: (B, H, W, 3) uint8 RGB crops.
+      cam_t: (B, 3) full-image camera translations.
+      verts: (B, 6890, 3) camera-frame vertices.
+      pred_uv: (u_map, v_map, index_map[, ann_map]) one-hot stacks
+        (B, h, w, C) or None.
+      vert_errors: (B,) per-sample vertex errors (mm).
+    """
+    import os
+
+    import numpy as _np
+
+    from whmr_tpu.inference.renderer import render_overlay
+
+    os.makedirs(save_path, exist_ok=True)
+    iuv_imgs = None
+    if pred_uv is not None:
+        from whmr_tpu.ops.iuv import iuv_map2img
+
+        iuv_imgs = np.asarray(iuv_map2img(*[_np.asarray(m) for m in pred_uv]))
+
+    out_paths = []
+    b, h, w = image.shape[:3]
+    for i in range(b):
+        name = os.path.splitext(os.path.basename(str(image_names[i])))[0]
+        draw_name = "{:06d}_{}".format(int(10 * float(vert_errors[i])), name)
+        overlay = render_overlay(
+            image[i], [verts[i]], [cam_t[i]], faces, [focal_length]
+        )
+        panels = [image[i], overlay]
+        if iuv_imgs is not None:
+            iuv_rgb = iuv_to_rgb(iuv_imgs[i])
+            panels.append(cv2.resize(iuv_rgb, (w, h),
+                                     interpolation=cv2.INTER_NEAREST))
+        panel = np.concatenate(panels, axis=1)
+        path = os.path.join(save_path, draw_name + ".png")
+        cv2.imwrite(path, panel[:, :, ::-1])
+        out_paths.append(path)
+    return out_paths
