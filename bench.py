@@ -19,14 +19,26 @@ over them embeds 450 MB of constants and overflows the remote-compile
 request).
 """
 
+import argparse
 import json
-import sys
 import time
 
 import numpy as np
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    # Batch sweep on v5e (crops/s): 32->1873, 48->2123, 64->2003, 96->1859,
+    # 128->1866. 48 wins (9216 tokens = clean MXU tiling for the ViT).
+    ap.add_argument("batch", nargs="?", type=int, default=48)
+    ap.add_argument(
+        "--camcalib", action="store_true",
+        help="include the CamCalib ResNet on a 600px full frame (the demo "
+             "graph the reference times, whmr.py:509-522 / tester.py:100-104; "
+             "one frame per batch, rotation broadcast to all crops)",
+    )
+    opts = ap.parse_args()
+
     from whmr_tpu.utils.profiling import enable_compile_cache
 
     enable_compile_cache()
@@ -40,9 +52,7 @@ def main():
     from whmr_tpu.models.whmr import WHMR
     from whmr_tpu.utils.testing import make_example_inputs
 
-    # Batch sweep on v5e (crops/s): 32->1873, 48->2123, 64->2003, 96->1859,
-    # 128->1866. 48 wins (9216 tokens = clean MXU tiling for the ViT).
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 48
+    batch = opts.batch
     iters = 10
 
     cfg = WHMRConfig()
@@ -50,6 +60,11 @@ def main():
     model = WHMR(cfg, dtype=jnp.bfloat16)
     inp = make_example_inputs(cfg, batch)
     args = {k: jnp.asarray(v) for k, v in inp.items()}
+    if opts.camcalib:
+        ch, cw = cfg.cam_img_size
+        args["full_x"] = jnp.asarray(
+            np.random.RandomState(1).randn(1, ch, cw, 3).astype(np.float32)
+        )
 
     # Complete param tree (CLAUDE.md invariant): init includes a small
     # full_x so the CamCalib branch exists (input-size independent).
@@ -75,6 +90,11 @@ def main():
         def body(i, carry):
             aa = dict(a)
             aa["x"] = a["x"] + (carry * 0).astype(a["x"].dtype)
+            if "full_x" in a:
+                # Make CamCalib loop-carried too, or XLA hoists the whole
+                # ResNet out of the fori_loop as loop-invariant and the
+                # bench measures it once instead of per forward.
+                aa["full_x"] = a["full_x"] + (carry * 0).astype(a["full_x"].dtype)
             verts, gverts = fwd(v, c, aa)
             return carry + jnp.sum(verts.astype(jnp.float32)) + jnp.sum(
                 gverts.astype(jnp.float32)
@@ -91,10 +111,13 @@ def main():
     dt = (time.perf_counter() - t0) / (reps * iters)
     crops_per_sec = batch / dt
 
+    metric = "person_crops_per_sec_per_chip"
+    if opts.camcalib:
+        metric += "_camcalib"
     print(
         json.dumps(
             {
-                "metric": "person_crops_per_sec_per_chip",
+                "metric": metric,
                 "value": round(crops_per_sec, 1),
                 "unit": "crops/s",
                 "vs_baseline": round(crops_per_sec / 1000.0, 3),

@@ -78,3 +78,64 @@ class TestMeshRender:
         zb = np.asarray(out.zbuf[0])
         fg = zb[mask]
         assert np.all(fg > 0) and np.all(fg < 100)
+
+
+class TestGTCameraSanitization:
+    """Degenerate estimate_translation outputs must not produce unbounded
+    weak-persp cameras (VERDICT round-2 item 6: a bad LSQ solve defeats the
+    tile culling and can 3x the GT render, or NaN-poison the maps)."""
+
+    def test_nan_and_degenerate_tz_clamped(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from whmr_tpu.training.gt_renderer import gt_camera_from_cam_t
+
+        cam_t = jnp.asarray([
+            [0.0, 0.0, 8.7],        # healthy
+            [0.0, 0.0, 1e-6],       # near-zero tz -> s would be ~7.8e6
+            [0.0, 0.0, -5.0],       # behind the camera
+            [np.nan, np.nan, np.nan],
+            [300.0, -300.0, 1e12],  # absurd translation / far depth
+        ])
+        cam = np.asarray(gt_camera_from_cam_t(cam_t))
+        assert np.isfinite(cam).all()
+        s = cam[:, 0]
+        assert (s <= 2 * 1000.0 / 256.0 + 1e-5).all()   # tz >= 1
+        assert (s > 0).all()
+        assert (np.abs(cam[:, 1:]) <= 20.0).all()
+        # the healthy sample is untouched
+        np.testing.assert_allclose(s[0], 2 * 1000.0 / (256.0 * 8.7), rtol=1e-6)
+        np.testing.assert_allclose(cam[0, 1:], 0.0, atol=1e-7)
+
+    def test_degenerate_keypoints_end_to_end(self, rng):
+        """Zero-confidence keypoints make the LSQ solve singular (NaN);
+        the sanitized camera must still render finite, mostly-empty maps."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from whmr_tpu.config import FOCAL_LENGTH
+        from whmr_tpu.data.assets import synthetic_smpl_assets
+        from whmr_tpu.models.smpl import smpl_forward, smpl_params_from_assets
+        from whmr_tpu.ops.camera import estimate_translation
+        from whmr_tpu.training.gt_renderer import (
+            build_render_consts,
+            gt_camera_from_cam_t,
+            render_gt_maps,
+        )
+
+        assets = synthetic_smpl_assets()
+        params = smpl_params_from_assets(assets)
+        out = smpl_forward(
+            params, jnp.zeros((2, 10)), jnp.broadcast_to(jnp.eye(3), (2, 24, 3, 3))
+        )
+        kp = jnp.zeros((2, 49, 3))  # conf 0 everywhere -> singular solve
+        cam_t = estimate_translation(out.joints, kp, FOCAL_LENGTH, (256.0, 256.0))
+        assert not np.isfinite(np.asarray(cam_t)).all()  # genuinely degenerate
+        cam = gt_camera_from_cam_t(cam_t)
+        maps = render_gt_maps(
+            build_render_consts(assets), out.vertices, cam,
+            heatmap_size=(32, 32), vitpose_slice=False, with_depth=True,
+        )
+        assert np.isfinite(np.asarray(maps["iuv_image_gt"])).all()
+        assert np.isfinite(np.asarray(maps["depth_image_gt"])).all()

@@ -125,8 +125,32 @@ def render_gt_maps(
     return results
 
 
-def gt_camera_from_cam_t(cam_t: jnp.ndarray, focal_length: float = 1000.0, crop_res: float = 256.0) -> jnp.ndarray:
+def gt_camera_from_cam_t(
+    cam_t: jnp.ndarray,
+    focal_length: float = 1000.0,
+    crop_res: float = 256.0,
+    tz_range: Tuple[float, float] = (1.0, 100.0),
+    txy_max: float = 20.0,
+) -> jnp.ndarray:
     """Full-persp translation -> weak-persp GT camera (trainer.py:445-449):
-    gt_camera = [2f/(res*tz), tx, ty]."""
-    s = (2.0 * focal_length / crop_res) / cam_t[:, 2]
-    return jnp.stack([s, cam_t[:, 0], cam_t[:, 1]], axis=-1)
+    gt_camera = [2f/(res*tz), tx, ty].
+
+    The translation comes from `estimate_translation`'s unregularized LSQ
+    solve, which degenerates on bad keypoint annotations (near-singular
+    normal equations -> NaN/negative/near-zero tz). A degenerate camera
+    yields a huge weak-persp scale, the projected mesh covers every
+    rasterizer tile, and chunk-bbox culling stops working (~3x slower GT
+    render, BASELINE.md round-2 caution) — or NaNs poison the maps. Clamp
+    to the physically meaningful range: tz in [1, 100] means weak scale
+    s in [0.078, 7.8] at f=1000/res=256 (real crops sit near s~0.9,
+    tz~8.7); the reference's numpy solve simply trusted the data
+    (geometry.py:386-408). NaNs map to the far default before clamping so
+    invalid samples render small, not everywhere.
+    """
+    tz = jnp.nan_to_num(cam_t[:, 2], nan=tz_range[1], posinf=tz_range[1],
+                        neginf=tz_range[1])
+    tz = jnp.clip(tz, tz_range[0], tz_range[1])
+    txy = jnp.nan_to_num(cam_t[:, :2], nan=0.0, posinf=txy_max, neginf=-txy_max)
+    txy = jnp.clip(txy, -txy_max, txy_max)
+    s = (2.0 * focal_length / crop_res) / tz
+    return jnp.stack([s, txy[:, 0], txy[:, 1]], axis=-1)
