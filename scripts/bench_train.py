@@ -308,6 +308,117 @@ def bench_bisect(batch: int):
             }))
 
 
+def bench_bisect_aux(batch: int):
+    """Splits the aux-on fwd+loss delta INSIDE the real graph: (a) full,
+    (b) render consumed by sum() but losses aux-off, (c) aux losses fed
+    from constant maps (no render). Locates whether the cost is the
+    in-graph render or the CE/huber loss terms themselves."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import lax
+    from dataclasses import replace
+
+    from whmr_tpu.config import WHMRConfig, FOCAL_LENGTH
+    from whmr_tpu.data.assets import synthetic_smpl_assets
+    from whmr_tpu.models.regressor import body_consts_from_assets
+    from whmr_tpu.models.whmr import WHMR
+    from whmr_tpu.training.gt_renderer import build_render_consts
+    from whmr_tpu.training.train_step import create_train_state
+    from whmr_tpu.utils.testing import make_example_train_batch, make_example_inputs
+
+    assets = synthetic_smpl_assets()
+    consts = body_consts_from_assets(assets)
+    rc = build_render_consts(assets)
+    batch_np = _make_keypoints_consistent(
+        consts, make_example_train_batch(WHMRConfig(), batch), batch
+    )
+    batch_d = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    iters = 10
+    cfg = replace(
+        WHMRConfig(),
+        pymaf=replace(WHMRConfig().pymaf, aux_supv_on=True, depth_supv_on=True),
+    )
+    model = WHMR(cfg, dtype=jnp.bfloat16)
+    inp = make_example_inputs(cfg, batch)
+    state = create_train_state(
+        cfg, model, consts, jax.random.PRNGKey(0),
+        {k: jnp.asarray(v) for k, v in inp.items()},
+    )
+    rng_np = np.random.RandomState(3)
+    hs = cfg.pymaf.dp_heatmap_size
+    const_maps = {
+        "iuv": jnp.asarray(rng_np.rand(batch, hs[0], hs[1] - 32, 3).astype(np.float32)),
+        "depth": jnp.asarray(rng_np.rand(batch, hs[0], hs[1] - 32, 1).astype(np.float32)),
+    }
+
+    def fwd_loss(params, stats, consts, b, rng, mode):
+        from whmr_tpu.models.smpl import smpl_forward
+        from whmr_tpu.ops.rotation import batch_rodrigues
+        from whmr_tpu.ops.camera import estimate_translation
+        from whmr_tpu.ops.iuv import iuv_img2map
+        from whmr_tpu.training.gt_renderer import (
+            gt_camera_from_cam_t, render_gt_maps,
+        )
+        from whmr_tpu.training.losses import whmr_loss
+
+        variables = {"params": params, "batch_stats": stats}
+        preds, _ = model.apply(
+            variables, consts, b["img"], b["center"], b["scale"],
+            b["bbox_height"], b["orig_shape"], b["bbox_info"], train=True,
+            meta_masks=b.get("meta_mask"), rngs={"dropout": rng},
+            mutable=["batch_stats"],
+        )
+        gt_rotmats = batch_rodrigues(b["pose"].reshape(-1, 3)).reshape(-1, 24, 3, 3)
+        gt_out = smpl_forward(consts.smpl, b["betas"], gt_rotmats)
+        gt_vertices = gt_out.vertices
+        gt_sub = jnp.einsum("sv,bvk->bsk", consts.dmap0, gt_vertices)
+        gt_temp = jnp.einsum("ts,bsk->btk", consts.dmap1, gt_sub)
+        extra = jnp.float32(0)
+        uvia_gt = depth_gt = None
+        if mode in ("full", "render_only"):
+            w, h = cfg.img_res
+            kp_orig = b["keypoints"].at[..., :2].set(
+                0.5 * h * (b["keypoints"][..., :2] + 1.0)
+            )
+            t = estimate_translation(gt_out.joints, kp_orig, FOCAL_LENGTH, (float(w), float(h)))
+            maps = render_gt_maps(
+                rc, gt_vertices, gt_camera_from_cam_t(t),
+                heatmap_size=cfg.pymaf.dp_heatmap_size,
+                vitpose_slice=True, with_depth=True, valid=b["has_smpl"],
+            )
+            if mode == "render_only":
+                extra = sum(jnp.sum(v) for v in maps.values())
+            else:
+                uvia_gt = iuv_img2map(maps["iuv_image_gt"])
+                depth_gt = maps["depth_image_gt"]
+        elif mode == "loss_only":
+            uvia_gt = iuv_img2map(const_maps["iuv"])
+            depth_gt = const_maps["depth"]
+        losses = whmr_loss(cfg, preds, b, gt_vertices, gt_sub, gt_temp,
+                           uvia_gt=uvia_gt, depth_gt=depth_gt)
+        return losses["loss"] + extra
+
+    for mode in ("full", "render_only", "loss_only"):
+        @jax.jit
+        def run(params, stats, consts, b, rng):
+            def body(i, carry):
+                bb = dict(b)
+                bb["img"] = b["img"] + (carry * 0).astype(b["img"].dtype)
+                return carry + fwd_loss(params, stats, consts, bb, rng, mode)
+
+            return lax.fori_loop(0, iters, body, jnp.float32(0))
+
+        dt = _timeit(
+            run, state.params, state.batch_stats, consts, batch_d,
+            jax.random.PRNGKey(1), iters=iters,
+        )
+        print(json.dumps({
+            "metric": f"bisect_aux_ms_{mode}", "value": round(dt * 1e3, 1),
+            "unit": "ms", "batch": batch,
+        }))
+
+
 def bench_parts(batch: int):
     """Isolated costs of the aux-supervision pieces around the render."""
     import jax
@@ -385,6 +496,8 @@ def main():
         bench_parts(batch)
     if which == "bisect":
         bench_bisect(batch)
+    if which == "bisect_aux":
+        bench_bisect_aux(batch)
 
 
 if __name__ == "__main__":
