@@ -191,7 +191,7 @@ def bench_adam(batch):
 
     @jax.jit
     def run(state):
-        def body(i, carry):
+        def body(carry, _):
             st, tok = carry
             grads = jax.tree_util.tree_map(
                 lambda p: (p * 0 + tok).astype(p.dtype), st.params

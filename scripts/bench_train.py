@@ -144,7 +144,10 @@ def _make_keypoints_consistent(consts, batch_np, batch: int):
     return batch_np
 
 
-def bench_step(batch: int, aux: bool, depth: bool | None = None, tag: str = ""):
+def bench_step(
+    batch: int, aux: bool, depth: bool | None = None, tag: str = "",
+    fused_adam: bool = False, attn_impl: str | None = None,
+):
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -165,7 +168,10 @@ def bench_step(batch: int, aux: bool, depth: bool | None = None, tag: str = ""):
             cfg.pymaf, aux_supv_on=aux,
             depth_supv_on=aux if depth is None else depth,
         ),
+        train=replace(cfg.train, fused_adam=fused_adam),
     )
+    if attn_impl is not None:
+        cfg = replace(cfg, vit=replace(cfg.vit, attn_impl=attn_impl))
     assets = synthetic_smpl_assets()
     consts = body_consts_from_assets(assets)
     rc = build_render_consts(assets)
@@ -489,6 +495,10 @@ def main():
     if which in ("step", "all"):
         bench_step(batch, aux=True)
         bench_step(batch, aux=False)
+    if which == "step_fused":
+        bench_step(batch, aux=True, tag="aux_on_fused_adam", fused_adam=True)
+    if which == "step_bf16sm":
+        bench_step(batch, aux=True, tag="aux_on_bf16sm", attn_impl="bf16sm")
     if which == "ablate":
         bench_step(batch, aux=True, depth=False, tag="iuv_only")
         bench_step(batch, aux=False, depth=True, tag="depth_only")

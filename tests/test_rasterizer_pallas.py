@@ -67,6 +67,43 @@ class TestPallasParity:
         np.testing.assert_allclose(np.asarray(out.zbuf), np.asarray(ref.zbuf), rtol=1e-4)
         np.testing.assert_allclose(np.asarray(out.attrs), np.asarray(ref.attrs), atol=1e-4)
 
+    def test_window_origin_bit_exact(self, rng):
+        """Rendering a window at `origin` must be BIT-identical to rendering
+        the enclosing frame and slicing — both rasterizer paths. This is the
+        correctness contract behind the 128x96 vitpose-slice render (which
+        skips the 25% margin work; training/gt_renderer.render_gt_maps)."""
+        verts = jnp.asarray(rng.uniform(2, 30, size=(2, 30, 2)).astype(np.float32))
+        z = jnp.asarray(rng.uniform(2, 8, size=(2, 30)).astype(np.float32))
+        attrs = jnp.asarray(rng.rand(2, 30, 3).astype(np.float32))
+        faces = rng.randint(0, 30, size=(16, 3)).astype(np.int32)
+
+        full = rasterize(verts, z, attrs, faces, resolution=(32, 32), chunk=4)
+        win = rasterize(
+            verts, z, attrs, faces, resolution=(32, 16), chunk=4,
+            origin=(8.0, 0.0),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(win.zbuf), np.asarray(full.zbuf[:, :, 8:24])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(win.attrs), np.asarray(full.attrs[:, :, 8:24])
+        )
+
+        full_p = rasterize_pallas(
+            verts, z, attrs, faces, resolution=(32, 32), chunk=8, tile_p=64,
+            tile_hw=(8, 8), interpret=True,
+        )
+        win_p = rasterize_pallas(
+            verts, z, attrs, faces, resolution=(32, 16), chunk=8, tile_p=64,
+            tile_hw=(8, 8), origin=(8.0, 0.0), interpret=True,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(win_p.zbuf), np.asarray(full_p.zbuf[:, :, 8:24])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(win_p.attrs), np.asarray(full_p.attrs[:, :, 8:24])
+        )
+
     def test_spatial_sort_is_permutation(self):
         assets = synthetic_smpl_assets()
         faces = np.asarray(assets.faces)

@@ -131,6 +131,12 @@ class TrainConfig:
     seed: int = 0
     # Mixed precision: compute in bf16 on MXU, accumulate/params in fp32.
     use_bf16: bool = True
+    # Flat-buffer fused Adam (training/optim.py): bit-equal to optax.adam.
+    # Measured SLOWER on v5e (154 vs 136 ms B=64 step — see optim.py);
+    # kept as a documented negative-result experiment. Single-chip /
+    # pure-DP only — flat moments can't be FSDP/TP-sharded (Trainer
+    # enforces this).
+    fused_adam: bool = False
 
 
 @dataclass(frozen=True)

@@ -52,6 +52,7 @@ def rasterize(
     faces: np.ndarray,
     resolution: Tuple[int, int] = (128, 128),
     chunk: int = 1024,
+    origin: Tuple[float, float] = (0.0, 0.0),
 ) -> RasterOut:
     """Rasterize batched meshes with a per-pixel depth test.
 
@@ -64,6 +65,11 @@ def rasterize(
         shared across the batch and baked into the compiled program).
       resolution: (H, W) output size.
       chunk: faces per scan step (memory/latency knob).
+      origin: (x0, y0) pixel offset of the output window — rendering a
+        (H, W) window at origin (x0, y0) is BIT-IDENTICAL to rendering the
+        enclosing full frame and slicing [y0:y0+H, x0:x0+W] (the pixel
+        sample coordinates are the same fp32 values; only wasted margin
+        work is skipped).
     """
     h, w = resolution
     b, v, c = attrs.shape
@@ -77,8 +83,8 @@ def rasterize(
     fchunks = jnp.asarray(_face_chunks(faces_np, chunk))  # (K, chunk, 3)
 
     # Pixel-center sample grid, homogeneous: (P, 3) with columns [x, y, 1].
-    ys = jnp.arange(h, dtype=jnp.float32) + 0.5
-    xs = jnp.arange(w, dtype=jnp.float32) + 0.5
+    ys = jnp.arange(h, dtype=jnp.float32) + 0.5 + float(origin[1])
+    xs = jnp.arange(w, dtype=jnp.float32) + 0.5 + float(origin[0])
     px = jnp.stack(
         [
             jnp.tile(xs[None, :], (h, 1)).reshape(-1),

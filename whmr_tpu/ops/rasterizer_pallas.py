@@ -151,17 +151,19 @@ def _face_tables(verts_pix, verts_z, attrs, faces):
 
 def _kernel(
     bbox_ref, ca_ref, cb_ref, cc_ref, tz_ref, ta_ref, zbuf_ref, attr_ref,
-    *, tile_p, chunk, tile_h, tile_w, nbx, n_chunks, n_attr,
+    *, tile_p, chunk, tile_h, tile_w, nbx, n_chunks, n_attr, ox, oy,
 ):
     pt = pl.program_id(1)
     by = pt // nbx
     bx = pt % nbx
     idx = jax.lax.broadcasted_iota(jnp.int32, (tile_p, 1), 0)
-    px = (bx * tile_w + idx % tile_w).astype(jnp.float32) + 0.5  # (tile_p, 1)
-    py = (by * tile_h + idx // tile_w).astype(jnp.float32) + 0.5
+    # ox/oy: window origin — sample coordinates match the enclosing full
+    # frame exactly (bit-identical bary evaluation to render-then-slice).
+    px = (bx * tile_w + idx % tile_w).astype(jnp.float32) + 0.5 + ox  # (tile_p, 1)
+    py = (by * tile_h + idx // tile_w).astype(jnp.float32) + 0.5 + oy
     # Pixel-center rectangle of this tile, for the chunk bbox overlap test.
-    x0 = bx.astype(jnp.float32) * tile_w + 0.5
-    y0 = by.astype(jnp.float32) * tile_h + 0.5
+    x0 = bx.astype(jnp.float32) * tile_w + 0.5 + ox
+    y0 = by.astype(jnp.float32) * tile_h + 0.5 + oy
     x1 = x0 + (tile_w - 1)
     y1 = y0 + (tile_h - 1)
 
@@ -259,6 +261,7 @@ def rasterize_pallas(
     chunk: int = DEFAULT_CHUNK,
     tile_p: int = 128,
     tile_hw: Optional[Tuple[int, int]] = None,
+    origin: Tuple[float, float] = (0.0, 0.0),
     interpret: bool = False,
 ) -> RasterOut:
     """Drop-in alternative to ops.rasterizer.rasterize (same signature/out).
@@ -266,6 +269,8 @@ def rasterize_pallas(
     Pixel tiles are (tile_h, tile_w) 2D blocks so per-chunk bbox culling
     prunes in both axes; pass faces through `spatial_sort_faces` (done by
     training/gt_renderer.build_render_consts) for compact chunk bboxes.
+    `origin` renders an (H, W) window of the enclosing frame bit-identically
+    to rendering it fully and slicing (see ops.rasterizer.rasterize).
     """
     h, w = resolution
     b, v, c = attrs.shape
@@ -303,6 +308,7 @@ def rasterize_pallas(
         _kernel,
         tile_p=tile_p, chunk=chunk, tile_h=tile_h, tile_w=tile_w,
         nbx=nbx, n_chunks=n_chunks, n_attr=c,
+        ox=float(origin[0]), oy=float(origin[1]),
     )
     face_spec = pl.BlockSpec(
         (1, 3, n_faces), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM

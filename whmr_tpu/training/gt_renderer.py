@@ -91,6 +91,18 @@ def render_gt_maps(
     vp, vz = project_weak_perspective_to_pixels(
         gt_vertices, gt_camera, heatmap_size
     )
+    raster_res = heatmap_size
+    origin = (0.0, 0.0)
+    if vitpose_slice:
+        # The supervised region is columns 16:-16 of the heatmap (the
+        # vitpose 128x96 feature grid). Rasterizing the full width and
+        # slicing wastes 25% of the raster work on margins that are
+        # discarded — rasterizing only the (H, W-2m) window at origin
+        # (m, 0) is BIT-identical to render-then-slice (the rasterizers
+        # evaluate the same fp32 pixel-center coordinates).
+        margin = heatmap_size[1] // 8  # 16 at 128
+        raster_res = (heatmap_size[0], heatmap_size[1] - 2 * margin)
+        origin = (float(margin), 0.0)
     attrs = jnp.broadcast_to(
         consts.vertex_iuv[None], (gt_vertices.shape[0], *consts.vertex_iuv.shape)
     )
@@ -101,13 +113,15 @@ def render_gt_maps(
         # 7.5 s at B=32) — VMEM-resident accumulators, single launch.
         from whmr_tpu.ops.rasterizer_pallas import rasterize_pallas
 
-        out = rasterize_pallas(vp, vz, attrs, consts.faces, resolution=heatmap_size)
+        out = rasterize_pallas(
+            vp, vz, attrs, consts.faces, resolution=raster_res, origin=origin
+        )
     else:
-        out = rasterize(vp, vz, attrs, consts.faces, resolution=heatmap_size)
+        out = rasterize(
+            vp, vz, attrs, consts.faces, resolution=raster_res, origin=origin
+        )
     iuv = out.attrs  # (B, H, W, 3)
     results: Dict[str, jnp.ndarray] = {}
-    if vitpose_slice:
-        iuv = iuv[:, :, 16:-16]
     if valid is not None:
         iuv = iuv * valid[:, None, None, None]
     results["iuv_image_gt"] = iuv
@@ -117,8 +131,6 @@ def render_gt_maps(
         # pytorch3d's znear clipping would.
         near = out.mask & (out.zbuf > 1e-3)
         inv_depth = jnp.where(near, 1.0 / jnp.maximum(out.zbuf, 1e-3), 0.0)
-        if vitpose_slice:
-            inv_depth = inv_depth[:, :, 16:-16]
         if valid is not None:
             inv_depth = inv_depth * valid[:, None, None]
         results["depth_image_gt"] = inv_depth[..., None]

@@ -67,6 +67,10 @@ def make_optimizer(
         )
     else:
         sched = cfg.train.base_lr
+    if cfg.train.fused_adam:
+        from whmr_tpu.training.optim import fused_adam
+
+        return fused_adam(sched)
     return optax.adam(sched)
 
 

@@ -83,6 +83,12 @@ class Trainer:
         )
         self.model = WHMR(cfg, dtype=dtype)
         self.mesh = mesh if mesh is not None else make_mesh(model_parallel=model_parallel)
+        if cfg.train.fused_adam and (fsdp or model_parallel > 1):
+            raise ValueError(
+                "train.fused_adam keeps flat (unsharded) Adam moments and is "
+                "incompatible with FSDP/tensor-parallel optimizer-state "
+                "sharding; disable one of them (training/optim.py)."
+            )
 
         example = make_example_inputs(cfg, batch=2)
         args = {
