@@ -143,12 +143,15 @@ def analyze(hlo: str, n: int, tp: int):
         if not nums:
             return "all"
         g0 = nums[0]
+        # Axis patterns first: with a degenerate axis (tp=1 or dp=1) a
+        # single-axis group spans all n devices and must NOT be labeled
+        # both-axes.
+        if tp > 1 and len(g0) == tp and all(b - a == 1 for a, b in zip(g0, g0[1:])):
+            return "model(tp)"
+        if dp > 1 and len(g0) == dp and all(b - a == tp for a, b in zip(g0, g0[1:])):
+            return "data(dp)"
         if len(g0) == n:
             return "both-axes"
-        if len(g0) == tp and all(b - a == 1 for a, b in zip(g0, g0[1:])):
-            return "model(tp)"
-        if len(g0) == dp and all(b - a == tp for a, b in zip(g0, g0[1:])):
-            return "data(dp)"
         return f"groups{len(g0)}"
 
     counts = collections.Counter()

@@ -81,10 +81,6 @@ def bench_vit(batch):
     _run_pair(apply, params, x, 10, batch, "vit")
 
 
-class _PSDeconvBlock:
-    pass
-
-
 def _make_deconv_tower(pixel_shuffle: bool, with_heads: bool):
     import flax.linen as nn
     import jax.numpy as jnp
@@ -147,7 +143,8 @@ def bench_deconv(batch, pixel_shuffle=False, with_heads=True):
 
 
 def bench_smpl(batch):
-    """The 5 SMPL forwards (init + 3 stages + world) + LBS backward."""
+    """ONE SMPL forward+LBS backward (the train step runs ~6: GT + init +
+    3 stages + world; multiply accordingly when attributing step time)."""
     import jax
     import jax.numpy as jnp
 
@@ -163,7 +160,7 @@ def bench_smpl(batch):
         out = smpl_forward(consts.smpl, p["betas"], p["rot"] + x * 0)
         return jnp.sum(out.vertices) + jnp.sum(out.joints)
 
-    _run_pair(apply, {"betas": betas, "rot": rot}, jnp.float32(0), 10, batch, "smpl5x")
+    _run_pair(apply, {"betas": betas, "rot": rot}, jnp.float32(0), 10, batch, "smpl1x")
 
 
 def bench_adam(batch):

@@ -85,8 +85,52 @@ class TestOKS:
         assert oks[0, 0] == pytest.approx(1.0)
         assert oks[1, 0] < 1e-6
 
+    def test_unlabeled_gt_window_matches_pycocotools(self):
+        """The bbox-tolerance window is EXACTLY [x-w, x+2w] x [y-h, y+2h]
+        (cocoeval.py computeOks k1==0: x0=bb[0]-bb[2], x1=bb[0]+2*bb[2]).
+        A detection just outside that window must accrue distance; one just
+        inside must not. Regression for a +-1-width-too-wide window that
+        absorbed false positives near crowd gts."""
+        bbox = np.array([[100.0, 200.0, 10.0, 20.0]])  # x, y, w, h
+        gt_kps = np.zeros((1, K, 3))  # all unlabeled
+        areas = np.array([4.0])
+        just_in = np.full((K, 2), [100.0 - 10.0 + 0.5, 200.0 - 20.0 + 0.5])
+        just_out = np.full((K, 2), [100.0 - 10.0 - 3.0, 200.0])
+        oks = compute_oks(
+            gt_kps, areas, np.stack([just_in, just_out]), bbox
+        )
+        assert oks[0, 0] == pytest.approx(1.0)
+        # dx = 3 per keypoint -> e = 9 / (2s)^2 / area / 2 summed form
+        expected = np.mean(
+            np.exp(-(3.0**2) / (2.0 * COCO_SIGMAS) ** 2 / (areas[0] + np.spacing(1)) / 2.0)
+        )
+        np.testing.assert_allclose(oks[1, 0], expected, rtol=1e-12)
+        # upper edge: inside at x+2w-eps, outside at x+2w+delta
+        hi_in = np.full((K, 2), [100.0 + 20.0 - 0.5, 200.0 + 40.0 - 0.5])
+        hi_out = np.full((K, 2), [100.0 + 20.0 + 3.0, 200.0])
+        oks2 = compute_oks(gt_kps, areas, np.stack([hi_in, hi_out]), bbox)
+        assert oks2[0, 0] == pytest.approx(1.0)
+        np.testing.assert_allclose(oks2[1, 0], expected, rtol=1e-12)
+
 
 class TestAP:
+    def test_detection_on_gtless_image_is_false_positive(self, rng):
+        """COCOeval counts detections on images without annotations as
+        false positives; dropping them inflates AP. Two images: one perfect
+        tp, one detection on an image with no gt entry -> precision halves
+        at full recall, AP must be < 1."""
+        kps = _rand_kps(rng)
+        gts = {0: _gt(kps)}
+        dts = {
+            0: {"kps": kps[None], "scores": np.array([0.9])},
+            1: {"kps": (kps + 500.0)[None], "scores": np.array([0.95])},
+        }
+        res = evaluate_oks_ap(gts, dts)
+        assert res["AP"] < 1.0
+        # without the stray detection AP is perfect
+        res_clean = evaluate_oks_ap(gts, {0: dts[0]})
+        assert res_clean["AP"] == pytest.approx(1.0)
+        assert res["AP"] < res_clean["AP"]
     def test_perfect_detections(self, rng):
         gts, dts = {}, {}
         for img in range(3):

@@ -107,6 +107,15 @@ class TestGTCameraSanitization:
         # the healthy sample is untouched
         np.testing.assert_allclose(s[0], 2 * 1000.0 / (256.0 * 8.7), rtol=1e-6)
         np.testing.assert_allclose(cam[0, 1:], 0.0, atol=1e-7)
+        # DEGENERATE samples must render SMALL (far default -> minimum
+        # scale), never snap to the near bound's maximum scale: a finite
+        # negative tz clipped to tz=1 would give s=7.8, a full-frame mesh
+        # that defeats the rasterizer's chunk-bbox culling.
+        s_far = 2 * 1000.0 / (256.0 * 100.0)
+        np.testing.assert_allclose(s[1], s_far, rtol=1e-6)  # near-zero tz
+        np.testing.assert_allclose(s[2], s_far, rtol=1e-6)  # behind camera
+        np.testing.assert_allclose(s[3], s_far, rtol=1e-6)  # NaN
+        np.testing.assert_allclose(s[4], s_far, rtol=1e-6)  # absurd far
 
     def test_degenerate_keypoints_end_to_end(self, rng):
         """Zero-confidence keypoints make the LSQ solve singular (NaN);

@@ -74,15 +74,17 @@ def compute_oks(
                 dx = xd - xg
                 dy = yd - yg
             else:
-                # unlabeled gt: distance to an expanded bbox (cocoeval.py)
+                # unlabeled gt: distance to the bbox expanded by one
+                # width/height on each side (cocoeval.py computeOks k1==0:
+                # window [x-w, x+2w] x [y-h, y+2h])
                 assert gt_bboxes is not None, "bbox needed for unlabeled gt"
                 x0, y0, w, h = gt_bboxes[j]
                 z = np.zeros(k)
-                dx = np.maximum(z, (x0 - 2 * w) - xd) + np.maximum(
-                    z, xd - (x0 + 3 * w)
+                dx = np.maximum(z, (x0 - w) - xd) + np.maximum(
+                    z, xd - (x0 + 2 * w)
                 )
-                dy = np.maximum(z, (y0 - 2 * h) - yd) + np.maximum(
-                    z, yd - (y0 + 3 * h)
+                dy = np.maximum(z, (y0 - h) - yd) + np.maximum(
+                    z, yd - (y0 + 2 * h)
                 )
             e = (dx**2 + dy**2) / vars_ / (gt_areas[j] + np.spacing(1)) / 2.0
             if n_lab > 0:
@@ -159,8 +161,18 @@ def evaluate_oks_ap(
     all_ignored: List[np.ndarray] = []
     all_scores: List[np.ndarray] = []
     n_gt = 0
-    for img_id, gt in gts_per_image.items():
-        dt = dts_per_image.get(img_id, {"kps": np.zeros((0, sigmas.shape[0], 2)),
+    k = sigmas.shape[0]
+    # Union of images: COCOeval iterates the full gt image set, and
+    # detections on images WITHOUT annotations still enter the fp cumsum
+    # (dropping them would inflate precision).
+    empty_gt = {"kps": np.zeros((0, k, 3)), "areas": np.zeros((0,)),
+                "bboxes": np.zeros((0, 4)), "ignore": np.zeros((0,))}
+    img_ids = list(gts_per_image.keys()) + [
+        i for i in dts_per_image.keys() if i not in gts_per_image
+    ]
+    for img_id in img_ids:
+        gt = gts_per_image.get(img_id, empty_gt)
+        dt = dts_per_image.get(img_id, {"kps": np.zeros((0, k, 2)),
                                         "scores": np.zeros((0,))})
         gt_kps = np.asarray(gt["kps"], np.float64)
         gt_ignore = np.asarray(
@@ -230,9 +242,14 @@ def evaluate_oks_ap(
     }
 
 
-def load_coco_gt(annotation_json: str) -> Dict:
-    """Parse a COCO person-keypoints json into evaluate_oks_ap's gt format."""
+def load_coco_gt(annotation_json: str, return_name_to_id: bool = False):
+    """Parse a COCO person-keypoints json into evaluate_oks_ap's gt format.
+
+    With `return_name_to_id`, also returns {basename(file_name): image_id}
+    from the same parse (the json can be 100+ MB — parse it once).
+    """
     import json
+    import os
 
     with open(annotation_json) as f:
         coco = json.load(f)
@@ -251,7 +268,7 @@ def load_coco_gt(annotation_json: str) -> Dict:
         entry["areas"].append(float(ann.get("area", ann["bbox"][2] * ann["bbox"][3])))
         entry["bboxes"].append(np.asarray(ann["bbox"], np.float64))
         entry["ignore"].append(float(ann.get("iscrowd", 0) or ann.get("ignore", 0)))
-    return {
+    gts = {
         img_id: {
             "kps": np.stack(e["kps"]),
             "areas": np.asarray(e["areas"]),
@@ -260,6 +277,13 @@ def load_coco_gt(annotation_json: str) -> Dict:
         }
         for img_id, e in per_img.items()
     }
+    if return_name_to_id:
+        name_to_id = {
+            os.path.basename(im["file_name"]): im["id"]
+            for im in coco.get("images", [])
+        }
+        return gts, name_to_id
+    return gts
 
 
 def spin49_to_coco17(kp49: np.ndarray, conf49: Optional[np.ndarray] = None):

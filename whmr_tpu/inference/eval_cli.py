@@ -221,8 +221,6 @@ def run_coco_ap_evaluation(args, cfg, model, variables, consts, ds, loader):
     keypoints (kp_2d_w, normalized to [-1, 1]) are unnormalized to pixels,
     mapped to COCO-17 by name, and scored by the native OKS-AP
     implementation (inference/coco_eval.py)."""
-    import json
-
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -233,12 +231,7 @@ def run_coco_ap_evaluation(args, cfg, model, variables, consts, ds, loader):
         spin49_to_coco17,
     )
 
-    gts = load_coco_gt(args.coco_gt)
-    with open(args.coco_gt) as f:
-        name_to_id = {
-            os.path.basename(im["file_name"]): im["id"]
-            for im in json.load(f)["images"]
-        }
+    gts, name_to_id = load_coco_gt(args.coco_gt, return_name_to_id=True)
 
     def fwd(variables, consts, batch):
         preds = model.apply(

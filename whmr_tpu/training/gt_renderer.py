@@ -156,12 +156,16 @@ def gt_camera_from_cam_t(
     to the physically meaningful range: tz in [1, 100] means weak scale
     s in [0.078, 7.8] at f=1000/res=256 (real crops sit near s~0.9,
     tz~8.7); the reference's numpy solve simply trusted the data
-    (geometry.py:386-408). NaNs map to the far default before clamping so
-    invalid samples render small, not everywhere.
+    (geometry.py:386-408). Every degenerate case — NaN, inf, AND any
+    finite tz below the near bound (negative/behind-camera or
+    implausibly close solves) — maps to the FAR default so invalid
+    samples render small, not everywhere (snapping a negative tz to the
+    near bound would give the maximum scale s=7.8 and re-create the
+    full-frame-mesh pathology this function exists to prevent).
     """
     tz = jnp.nan_to_num(cam_t[:, 2], nan=tz_range[1], posinf=tz_range[1],
                         neginf=tz_range[1])
-    tz = jnp.clip(tz, tz_range[0], tz_range[1])
+    tz = jnp.where(tz < tz_range[0], tz_range[1], jnp.minimum(tz, tz_range[1]))
     txy = jnp.nan_to_num(cam_t[:, :2], nan=0.0, posinf=txy_max, neginf=-txy_max)
     txy = jnp.clip(txy, -txy_max, txy_max)
     s = (2.0 * focal_length / crop_res) / tz
