@@ -43,6 +43,26 @@ def main() -> None:
     import jax.numpy as jnp
     import numpy as np
 
+    # Establish the Gloo contexts with a TINY collective before the heavy
+    # train-step compile: Gloo context init waits at most ~30 s for the
+    # peer's KV entry, and under external CPU load the two processes'
+    # multi-minute compiles can skew past that (observed: one compile took
+    # 2m30s while the peer's context init timed out). The tiny program
+    # compiles in seconds on both sides, so the rendezvous happens with
+    # negligible skew; the contexts are then reused by later executables.
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from whmr_tpu.parallel import make_mesh
+
+    warm_mesh = make_mesh(n_devices=8, model_parallel=2)
+    warm = jax.jit(
+        lambda x: jnp.sum(x * 2.0),
+        in_shardings=NamedSharding(warm_mesh, P("data")),
+    )(jax.device_put(
+        jnp.arange(8.0),
+        NamedSharding(warm_mesh, P("data")),
+    ))
+    assert float(warm) == 56.0, float(warm)
+
     # ---- per-host disjoint data sharding (DistributedSampler equivalent) --
     from whmr_tpu.data.loader import BatchLoader
 
