@@ -151,6 +151,48 @@ class TestLoader:
         assert len(batches) == 2
         assert batches[0]["img"].shape == (4, 256, 192, 3)
 
+    def test_process_workers_match_threads_exactly(self, fake_dataset):
+        """Fork-based worker processes must yield bit-identical batches in
+        the same order as thread workers: every sample draws from its own
+        per-(seed, epoch, index) rng stream and collation restores index
+        order, so the worker transport cannot change the data."""
+        cfg = tiny_config()
+        ds = NpzDataset(
+            cfg, str(fake_dataset / "labels.npz"), str(fake_dataset / "images"),
+            is_train=True,
+        )
+        lt = BatchLoader(ds, batch_size=4, num_workers=3, shuffle=True, seed=5)
+        lp = BatchLoader(ds, batch_size=4, num_procs=2, shuffle=True, seed=5)
+        lt.set_epoch(1)
+        lp.set_epoch(1)
+        bt, bp = list(lt), list(lp)
+        assert len(bt) == len(bp) and len(bt) > 0
+        for a, b in zip(bt, bp):
+            assert set(a) == set(b)
+            for k in a:
+                np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+    def test_process_worker_error_surfaces(self, fake_dataset):
+        """An exception inside a worker process reaches the consumer."""
+        cfg = tiny_config()
+        ds = NpzDataset(
+            cfg, str(fake_dataset / "labels.npz"), str(fake_dataset / "images"),
+            is_train=False,
+        )
+
+        class Broken:
+            def __len__(self):
+                return len(ds)
+
+            def __getitem__(self, i):
+                if i == 3:
+                    raise ValueError("boom")
+                return ds[i]
+
+        loader = BatchLoader(Broken(), batch_size=4, num_procs=2, shuffle=False)
+        with pytest.raises(RuntimeError, match="dataset\\[3\\]"):
+            list(loader)
+
     def test_host_sharding_disjoint(self, fake_dataset):
         cfg = tiny_config()
         ds = NpzDataset(

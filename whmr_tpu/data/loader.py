@@ -1,10 +1,21 @@
-"""Threaded host-side batch loader with device prefetch.
+"""Host-side batch loader (threads or processes) with device prefetch.
 
 Replaces torch DataLoader + DistributedSampler (reference core/trainer.py:
-129-143): worker threads run the numpy augmentation pipeline, batches are
+129-143): workers run the numpy augmentation pipeline, batches are
 assembled and handed to the device ahead of time. Multi-host sharding uses
 `jax.process_index()` striding (each host reads a disjoint slice of the
 epoch permutation) — the mesh-native version of DistributedSampler.
+
+Two worker modes:
+- threads (default): zero-copy, but the augment pipeline is numpy-heavy
+  and GIL-bound — measured ceiling ~2x single-thread regardless of
+  thread count (scripts/bench_loader.py), far below the 470 crops/s the
+  aux-on B=64 train step consumes on a v5e chip.
+- processes (`num_procs > 0`): fork-based workers like torch DataLoader's
+  (reference trains this way); scales with physical cores. Batch order
+  and contents are IDENTICAL to thread mode because every sample draws
+  from its own per-(seed, epoch, index) rng stream (npz_dataset.py) —
+  asserted by tests/test_data.py.
 """
 
 from __future__ import annotations
@@ -14,6 +25,20 @@ import threading
 from typing import Callable, Dict, Iterator, Optional, Sequence
 
 import numpy as np
+
+
+def _proc_worker(dataset, idx_q, out_q):
+    """Worker-process loop: pull (pos, idx), push (pos, sample | error)."""
+    while True:
+        task = idx_q.get()
+        if task is None:
+            return
+        pos, idx = task
+        try:
+            sample = dataset[int(idx)]
+        except Exception as e:  # noqa: BLE001 — surface as sentinel
+            sample = RuntimeError(f"dataset[{idx}] failed: {e!r}")
+        out_q.put((pos, sample))
 
 
 class BatchLoader:
@@ -28,11 +53,13 @@ class BatchLoader:
         seed: int = 0,
         drop_last: bool = True,
         prefetch: int = 4,
+        num_procs: int = 0,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.num_workers = max(1, num_workers)
+        self.num_procs = int(num_procs)
         self.num_hosts = num_hosts
         self.host_index = host_index
         self.seed = seed
@@ -69,14 +96,40 @@ class BatchLoader:
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         indices = self._epoch_indices()
         n_batches = len(self)
-        sample_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch * self.batch_size)
-        stop = threading.Event()
-
         work = list(indices[: n_batches * self.batch_size]) if self.drop_last else list(indices)
         if self.start_batch:
             work = work[self.start_batch * self.batch_size:]
             n_batches = max(n_batches - self.start_batch, 0)
             self.start_batch = 0
+        if self.num_procs > 0:
+            yield from self._iter_procs(work, n_batches)
+        else:
+            yield from self._iter_threads(work, n_batches)
+
+    def _assemble(self, get_sample, total: int, n_batches: int):
+        """Order-restoring collation shared by both worker modes."""
+        buffer: Dict[int, Dict] = {}
+        next_pos = 0
+        for _ in range(n_batches):
+            # final batch may be partial when drop_last=False
+            want = min(self.batch_size, total - next_pos)
+            batch_samples = []
+            while len(batch_samples) < want:
+                while next_pos not in buffer:
+                    pos, sample = get_sample()
+                    if isinstance(sample, Exception):
+                        raise sample
+                    buffer[pos] = sample
+                batch_samples.append(buffer.pop(next_pos))
+                next_pos += 1
+            yield {
+                k: np.stack([s[k] for s in batch_samples])
+                for k in batch_samples[0]
+            }
+
+    def _iter_threads(self, work, n_batches: int):
+        sample_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch * self.batch_size)
+        stop = threading.Event()
         work_iter = iter(enumerate(work))
         lock = threading.Lock()
 
@@ -98,25 +151,7 @@ class BatchLoader:
             t.start()
 
         try:
-            buffer: Dict[int, Dict] = {}
-            next_pos = 0
-            total = len(work)
-            for _ in range(n_batches):
-                # final batch may be partial when drop_last=False
-                want = min(self.batch_size, total - next_pos)
-                batch_samples = []
-                while len(batch_samples) < want:
-                    while next_pos not in buffer:
-                        pos, sample = sample_q.get()
-                        if isinstance(sample, Exception):
-                            raise sample
-                        buffer[pos] = sample
-                    batch_samples.append(buffer.pop(next_pos))
-                    next_pos += 1
-                yield {
-                    k: np.stack([s[k] for s in batch_samples])
-                    for k in batch_samples[0]
-                }
+            yield from self._assemble(sample_q.get, len(work), n_batches)
         finally:
             stop.set()
             # drain to unblock workers
@@ -125,6 +160,41 @@ class BatchLoader:
                     sample_q.get_nowait()
                 except queue.Empty:
                     break
+
+    def _iter_procs(self, work, n_batches: int):
+        """Fork-based worker processes (torch-DataLoader-style): the GIL
+        caps the threaded augment pipeline at ~2x single-core; forked
+        workers scale with physical cores. The dataset is inherited by
+        fork (no per-item pickling of state; samples come back through an
+        OS pipe). Bounded index queue keeps in-flight samples ~prefetch
+        batches."""
+        import multiprocessing as mp
+
+        ctx = mp.get_context("fork")
+        idx_q = ctx.Queue()
+        out_q = ctx.Queue(maxsize=max(2, self.prefetch) * self.batch_size)
+        procs = [
+            ctx.Process(
+                target=_proc_worker, args=(self.dataset, idx_q, out_q),
+                daemon=True,
+            )
+            for _ in range(self.num_procs)
+        ]
+        for p in procs:
+            p.start()
+        for task in enumerate(work):
+            idx_q.put(task)
+        for _ in procs:
+            idx_q.put(None)
+
+        try:
+            yield from self._assemble(out_q.get, len(work), n_batches)
+        finally:
+            for p in procs:
+                if p.is_alive():
+                    p.terminate()
+            for p in procs:
+                p.join(timeout=5)
 
 
 def device_prefetch(iterator, size: int = 2, sharding=None):

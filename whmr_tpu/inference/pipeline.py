@@ -279,6 +279,7 @@ class DemoPipeline:
         output_folder: str,
         render: bool = True,
         save_obj_files: bool = False,
+        pipeline_depth: int = 1,
     ) -> Dict[str, float]:
         os.makedirs(output_folder, exist_ok=True)
         names = sorted(
@@ -288,10 +289,13 @@ class DemoPipeline:
         )
         t0 = time.time()
         n_people = 0
-        # Software pipeline, depth 1: image i+1's detector/crops/forward are
-        # dispatched before image i's results are fetched, so the device
-        # (and the tunnel round trip on remote transports) overlaps the
-        # host-side rendering + pkl/png IO instead of serializing with it.
+        # Software pipeline: the next `pipeline_depth` images' detector/
+        # crops/forward are dispatched before image i's results are
+        # fetched, so the device (and the tunnel round trip on remote
+        # transports) overlaps the host-side rendering + pkl/png IO
+        # instead of serializing with it. Each in-flight slot holds one
+        # max_people crop batch on device (small); depth 1 already
+        # captured most of the win in measurement (BASELINE.md).
         queue: List[Tuple[str, np.ndarray, object]] = []
 
         def drain():
@@ -311,7 +315,7 @@ class DemoPipeline:
                 continue
             img = np.ascontiguousarray(raw[:, :, ::-1])
             queue.append((fname, img, self.dispatch_image(img, fname)))
-            if len(queue) > 1:
+            if len(queue) > max(1, pipeline_depth):
                 drain()
         while queue:
             drain()

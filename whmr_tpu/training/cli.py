@@ -29,6 +29,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fsdp", action="store_true",
                    help="ZeRO-3-style param/optimizer sharding over the data axis")
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute")
+    p.add_argument("--loader_procs", type=int, default=0,
+                   help="fork-based loader worker processes (0 = GIL-bound "
+                        "threads; use ~cores/8 per chip to keep the aux-on "
+                        "step fed — see scripts/bench_loader.py)")
     p.add_argument("--misc", nargs="*", default=[],
                    help="dotted config overrides: key value [key value ...]")
     return p
@@ -93,6 +97,7 @@ def main(argv=None):
         loader = BatchLoader(
             dataset, cfg.train.batch_size,
             num_hosts=jax.process_count(), host_index=jax.process_index(),
+            num_procs=args.loader_procs,
         )
         loader.set_epoch(epoch)
         return loader
