@@ -16,6 +16,47 @@ def batch_iter(cfg, n_batches=2, batch=8):
 
 
 class TestTrainer:
+    def test_load_pretrained_torch_backbone(self, tmp_path):
+        """whmr-train --pretrained workflow: a torch state_dict (here the
+        bare-backbone form of vitpose-b-multi-coco.pth) initializes the
+        encoder weights in place; heads keep their fresh init and the
+        optimizer stays untouched (reference pose_vit.py:21 +
+        base_trainer.load_pretrained)."""
+        import torch
+
+        from whmr_tpu.utils.convert import synthetic_reference_state_dict
+        from whmr_tpu.utils.convert import t_linear
+
+        cfg = tiny_config()
+        sd = synthetic_reference_state_dict(cfg, seed=7)
+        bare = {
+            k.replace("feature_extractor.", ""): torch.from_numpy(np.asarray(v))
+            for k, v in sd.items()
+            if k.startswith("feature_extractor.")
+        }
+        pt = tmp_path / "vitpose_backbone.pth"
+        torch.save({"state_dict": bare}, str(pt))
+
+        trainer = Trainer(cfg, str(tmp_path / "runP"), aux_rendering=False)
+        head_before = np.asarray(
+            jax.tree_util.tree_leaves(trainer.state.params["regressor0"])[0]
+        )
+        n = trainer.load_pretrained(str(pt))
+        assert n > 0
+        got = np.asarray(
+            trainer.state.params["feature_extractor"]["block0"]["attn"]["qkv"]["kernel"]
+        )
+        want = t_linear(np.asarray(bare["backbone.blocks.0.attn.qkv.weight"]))
+        np.testing.assert_allclose(got, want, atol=1e-6)
+        # heads untouched
+        head_after = np.asarray(
+            jax.tree_util.tree_leaves(trainer.state.params["regressor0"])[0]
+        )
+        np.testing.assert_array_equal(head_before, head_after)
+        # training still steps with the merged weights
+        trainer.train_epoch(batch_iter(cfg, 1, 8), log_every=100)
+        assert int(trainer.state.step) == 1
+
     def test_epoch_and_checkpoint_roundtrip(self, tmp_path):
         cfg = tiny_config()
         trainer = Trainer(cfg, str(tmp_path / "run"), aux_rendering=False)

@@ -25,6 +25,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--save_every", type=int, default=None,
                    help="also checkpoint every N batches (mid-epoch resume)")
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--pretrained", default=None,
+                   help="init weights from a torch .pt/.pth (full WHMR or "
+                        "bare vitpose backbone) or a whmr-convert orbax dir; "
+                        "optimizer/epoch start fresh (reference "
+                        "base_trainer.load_pretrained + pose_vit.py:21)")
     p.add_argument("--model_parallel", type=int, default=1)
     p.add_argument("--fsdp", action="store_true",
                    help="ZeRO-3-style param/optimizer sharding over the data axis")
@@ -84,11 +89,16 @@ def main(argv=None):
         steps_per_epoch=steps_per_epoch,
         fsdp=args.fsdp,
     )
-    if args.resume and trainer.resume():
+    resumed = args.resume and trainer.resume()
+    if resumed:
         print(
             f"resumed from step {int(trainer.state.step)} "
             f"(epoch {trainer.epoch}, batch {trainer.batch_idx})"
         )
+    if args.pretrained and not resumed:
+        # Pretrained init only applies to fresh runs; a resumed run's
+        # weights come from its own checkpoint.
+        trainer.load_pretrained(args.pretrained)
 
     def loader_factory(epoch):
         # Per-host disjoint data slices (DistributedSampler equivalent):

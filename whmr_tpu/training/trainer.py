@@ -172,6 +172,72 @@ class Trainer:
         self.batch_idx = int(payload.get("batch_idx", 0))
         return True
 
+    def load_pretrained(self, path: str, strict: bool = False) -> int:
+        """Initialize weights from a pretrained checkpoint before training.
+
+        Covers both reference init workflows (base_trainer.py
+        `load_pretrained` for fine-tuning a released model, and
+        pose_vit.py:21 loading `vitpose-b-multi-coco.pth` into the
+        encoder): `path` may be a torch .pt/.pth (full WHMR checkpoint OR
+        bare backbone — utils/convert handles both key prefixes) or an
+        orbax dir written by `whmr-convert`. Only matching-shape leaves
+        present in the checkpoint are overwritten; optimizer state, step
+        and epoch stay fresh. Returns the number of param leaves loaded.
+        """
+        from whmr_tpu.utils.convert_cli import merge_trees
+
+        if path.endswith((".pt", ".pth", ".tar", ".ckpt")):
+            import torch
+
+            from whmr_tpu.utils.convert import convert_whmr_checkpoint
+
+            ckpt = torch.load(path, map_location="cpu", weights_only=False)
+            sd = ckpt
+            for key in ("model", "state_dict"):
+                if isinstance(ckpt, dict) and key in ckpt and isinstance(ckpt[key], dict):
+                    sd = ckpt[key]
+                    break
+            sd = {k.replace("module.", ""): v for k, v in sd.items()}
+            converted = convert_whmr_checkpoint(sd)
+        else:
+            from whmr_tpu.utils.checkpoint import CheckpointManager
+
+            payload = CheckpointManager(path).restore(
+                template={
+                    "params": self.state.params,
+                    "batch_stats": self.state.batch_stats,
+                }
+            )
+            if payload is None:
+                raise FileNotFoundError(f"no checkpoint under {path}")
+            converted = {
+                "params": payload["params"],
+                "batch_stats": payload["batch_stats"],
+            }
+
+        host_params = jax.tree.map(np.asarray, dict(self.state.params))
+        host_stats = jax.tree.map(np.asarray, dict(self.state.batch_stats))
+        params, rep_p = merge_trees(host_params, dict(converted["params"]))
+        stats, rep_s = merge_trees(host_stats, dict(converted.get("batch_stats", {})))
+        problems = (
+            rep_p["mismatched"] + rep_s["mismatched"]
+            + rep_p["extra"] + rep_s["extra"]
+        )
+        if problems:
+            msg = f"pretrained load: {len(problems)} unmatched/mismatched keys"
+            if strict:
+                raise ValueError(msg + ": " + "; ".join(problems[:10]))
+            print(f"[trainer] WARNING {msg} (first: {problems[:5]})")
+        self.state = self.state.replace(
+            params=shard_params(params, self.mesh, fsdp=self.fsdp),
+            batch_stats=shard_params(stats, self.mesh),
+        )
+        print(
+            f"[trainer] loaded pretrained {path}: {rep_p['matched']} param "
+            f"leaves (+{rep_s['matched']} batch stats)"
+        )
+        return rep_p["matched"]
+
     def save(self, metric: Optional[float] = None, batch_idx: int = 0):
         self.ckpt.save(
             int(self.state.step),
@@ -225,7 +291,7 @@ class Trainer:
                 self.state, self.consts, batch, step_rng
             )
             self.batch_idx = i + 1
-            if (i + 1) % log_every == 0 or (
+            if (log_every and (i + 1) % log_every == 0) or (
                 max_steps is not None and i == max_steps - 1
             ):
                 last = {k: float(v) for k, v in metrics.items()}
