@@ -97,6 +97,44 @@ class TestEvaluation:
         assert dump["betas"].shape == (4, 10)
         assert dump["camera"].shape == (4, 3)
 
+    def test_data_parallel_eval_matches_single_device(self, tmp_path):
+        """Sharded (mesh) eval reproduces single-device metrics exactly,
+        including a ragged last batch that gets zero-padded, and trims the
+        padded rows from the --result_file dump. Net-new vs the reference's
+        rank-0-only validation (train.py:44-47)."""
+        from whmr_tpu.parallel import make_mesh
+
+        cfg = tiny_config()
+        consts = body_consts_from_assets(synthetic_smpl_assets())
+        model = WHMR(cfg)
+        inputs = make_example_inputs(cfg, 4)
+        args = dict(
+            x=jnp.asarray(inputs["x"]), center=jnp.asarray(inputs["center"]),
+            scale=jnp.asarray(inputs["scale"]), bbox_height=jnp.asarray(inputs["bbox_height"]),
+            orig_shape=jnp.asarray(inputs["orig_shape"]), bbox_info=jnp.asarray(inputs["bbox_info"]),
+        )
+        state = create_train_state(cfg, model, consts, jax.random.PRNGKey(0), args)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        full = make_eval_batch(cfg, 8, seed=0)
+        ragged = make_eval_batch(cfg, 5, seed=1)  # pads 5 -> 8 on the mesh
+        out_ref = str(tmp_path / "single.npz")
+        out_dp = str(tmp_path / "sharded.npz")
+        r_single = run_evaluation(
+            cfg, model, variables, consts, [full, ragged], log_every=0,
+            result_file=out_ref,
+        )
+        r_dp = run_evaluation(
+            cfg, model, variables, consts, [full, ragged], log_every=0,
+            result_file=out_dp, mesh=make_mesh(),
+        )
+        assert r_dp["count"] == r_single["count"] == 13
+        for k in ("mpjpe", "pa_mpjpe", "pve"):
+            np.testing.assert_allclose(r_dp[k], r_single[k], rtol=2e-5)
+        a, b = np.load(out_ref), np.load(out_dp)
+        for k in a.files:
+            assert a[k].shape == b[k].shape, k  # padded rows trimmed
+            np.testing.assert_allclose(a[k], b[k], rtol=2e-4, atol=2e-5)
+
     def test_gendered_smpl_changes_gt(self):
         """Gendered GT vertices flow through the metric (3DPW protocol,
         trainer.py:784-798)."""

@@ -53,6 +53,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="directory of GT part maps (one png per sample)")
     p.add_argument("--parts_template", default="{stem}.png",
                    help="GT part-map filename from the image stem")
+    p.add_argument("--data_parallel", type=int, default=0, metavar="N",
+                   help="shard eval batches over N devices (0 = single "
+                        "device; net-new vs the reference's rank-0-only "
+                        "validation, train.py:44-47)")
     p.add_argument("--misc", nargs="*", default=[],
                    help="dotted config overrides: key value [key value ...]")
     return p
@@ -200,11 +204,17 @@ def main(argv=None):
                 b["cam_rotmat"] = jnp.broadcast_to(jnp.eye(3), (n, 3, 3))
             yield b
 
+    mesh = None
+    if args.data_parallel:
+        from whmr_tpu.parallel import make_mesh
+
+        mesh = make_mesh(args.data_parallel)
+
     joint_mapper = "j17" if args.dataset in J17_DATASETS else "j14"
     result = run_evaluation(
         cfg, model, variables, consts, batches(), log_every=args.log_freq,
         gendered_smpl=gendered_smpl, joint_mapper=joint_mapper,
-        result_file=args.result_file, regressor=args.regressor,
+        result_file=args.result_file, regressor=args.regressor, mesh=mesh,
     )
     print(
         f"*** Final Results ***\nPVE: {result['pve']:.2f}\n"

@@ -58,8 +58,14 @@ def make_eval_step(
     joint_mapper: str = "j14",
     save_arrays: bool = False,
     regressor: str = "pymaf_net",
+    mesh=None,
 ):
     """Jitted eval step: batch -> ((sum_mpjpe, sum_pa, sum_pve, n), extras).
+
+    With `mesh`, the batch is sharded over the 'data' axis and the metric
+    sums become global reductions (multi-chip data-parallel evaluation —
+    net-new vs the reference, which validates on rank 0 only,
+    train.py:44-47).
 
     Mirrors eval.py:155-228: model fwd with GT cam_rotmat; world-frame
     (global) vertices; H36M-regressed joints, pelvis-centered, sliced by
@@ -162,6 +168,14 @@ def make_eval_step(
             }
         return sums, extras
 
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rep = NamedSharding(mesh, P())
+        return jax.jit(
+            step,
+            in_shardings=(rep, rep, NamedSharding(mesh, P("data"))),
+        )
     return jax.jit(step)
 
 
@@ -176,17 +190,61 @@ def run_evaluation(
     joint_mapper: str = "j14",
     result_file: str = None,
     regressor: str = "pymaf_net",
+    mesh=None,
 ) -> Dict[str, float]:
     """Drive the eval loop over an iterable of device-ready batches.
 
     result_file: path to dump per-sample prediction arrays as npz
     (reference eval.py:312-319 npz + mat dump).
     regressor: 'pymaf_net' (WHMR) or 'hmr' baseline (eval.py:52,174-176).
+    mesh: data-parallel eval over the mesh's 'data' axis. Batches are
+    zero-padded (valid=0) to the first batch's size so every step keeps
+    one fixed sharded shape; padded rows contribute nothing to the sums
+    and are trimmed from --result_file arrays.
     """
     step = make_eval_step(
         cfg, model, gendered_smpl=gendered_smpl, joint_mapper=joint_mapper,
-        save_arrays=result_file is not None, regressor=regressor,
+        save_arrays=result_file is not None, regressor=regressor, mesh=mesh,
     )
+    pad_to = None
+    if mesh is not None:
+        from whmr_tpu.parallel import batch_sharding, replicated
+
+        data_sharding = batch_sharding(mesh)
+        # checkpoint-restored arrays arrive committed to device 0; replicate
+        # them across the mesh or jit rejects the mixed device assignment
+        rep = replicated(mesh)
+        variables = jax.device_put(variables, rep)
+        consts = jax.device_put(consts, rep)
+
+    def place(batch):
+        nonlocal pad_to
+        if mesh is None:
+            return batch, batch[next(iter(batch))].shape[0]
+        n = batch[next(iter(batch))].shape[0]
+        if pad_to is None:
+            ndata = mesh.shape["data"]
+            pad_to = max(n, ndata) if n % ndata == 0 else n + (-n) % ndata
+        if n > pad_to:
+            raise ValueError(
+                f"batch of {n} exceeds the fixed eval shape {pad_to} set by "
+                "the first batch; feed equal-size batches (last may be "
+                "smaller) for data-parallel eval"
+            )
+        pad = pad_to - n
+        if pad:
+            batch = {
+                k: jnp.concatenate(
+                    [v, jnp.zeros((pad, *v.shape[1:]), v.dtype)]
+                )
+                for k, v in batch.items()
+            }
+            # padded rows must not count (valid masks every metric sum)
+            batch["valid"] = batch["valid"].at[n:].set(0)
+        return (
+            {k: jax.device_put(v, data_sharding) for k, v in batch.items()},
+            n,
+        )
     metrics = EvalMetrics()
     collected: Dict[str, list] = {}
     # Per-batch sums stay on device until a log boundary (or the end):
@@ -201,6 +259,7 @@ def run_evaluation(
         pending.clear()
 
     for i, batch in enumerate(batches):
+        batch, n = place(batch)
         sums, extras = step(variables, consts, batch)
         pending.append(sums)
         if extras is not None:
@@ -208,7 +267,8 @@ def run_evaluation(
             # fetches batch i while batch i+1's step is already dispatched.
             host = jax.device_get(extras)
             for k, v in host.items():
-                collected.setdefault(k, []).append(v)
+                # padded rows (mesh mode) are trimmed from the dump
+                collected.setdefault(k, []).append(v[:n])
         if log_every and (i + 1) % log_every == 0:
             flush()
             r = metrics.result()
