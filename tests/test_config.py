@@ -82,6 +82,18 @@ class TestPresets:
         # TP divisibility: heads divide evenly over a 2-way model axis
         assert l.num_heads % 2 == 0 and h.num_heads % 2 == 0
 
+    def test_vit_preset_yamls_match_code_presets(self):
+        """configs/vit-{l,h}.yaml select the exact vit_large()/vit_huge()
+        geometry through the MODEL.VIT yaml section."""
+        import os
+
+        root = os.path.join(os.path.dirname(__file__), "..", "configs")
+        cl = load_yaml(os.path.join(root, "vit-l.yaml"))
+        ch = load_yaml(os.path.join(root, "vit-h.yaml"))
+        assert cl.vit == vit_large(), (cl.vit, vit_large())
+        assert ch.vit == vit_huge(), (ch.vit, vit_huge())
+        assert cl.pymaf.backbone == ch.pymaf.backbone == "vitpose"
+
 
 class TestCliParsers:
     def test_misc_overrides_in_all_clis(self):

@@ -1,0 +1,165 @@
+"""AOT serving export tests (whmr_tpu/inference/export.py).
+
+The reference has no serving-export counterpart (deployment = load the
+torch codebase, demo/tester.py:55-66); the bundle format is net-new, so
+these tests gate (a) save/load round trip fidelity against the live
+model, (b) multi-platform lowering, (c) the camcalib demo-graph variant.
+"""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from whmr_tpu.data.assets import synthetic_smpl_assets
+from whmr_tpu.inference.export import (
+    OUTPUT_KEYS,
+    export_serving,
+    load_exported,
+    save_exported,
+)
+from whmr_tpu.models.regressor import body_consts_from_assets
+from whmr_tpu.models.whmr import WHMR
+from whmr_tpu.training.train_step import create_train_state
+from whmr_tpu.utils.testing import make_example_inputs, tiny_config
+
+from whmr_tpu.config import IMG_NORM_MEAN, IMG_NORM_STD
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_config()
+    consts = body_consts_from_assets(synthetic_smpl_assets())
+    model = WHMR(cfg)
+    inputs = make_example_inputs(cfg, 2)
+    state = create_train_state(
+        cfg, model, consts, jax.random.PRNGKey(0),
+        {k: jnp.asarray(v) for k, v in inputs.items()},
+    )
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    return cfg, model, variables, consts, inputs
+
+
+def _call_args(cfg, inputs, seed=0):
+    h, w = cfg.crop_hw
+    rng = np.random.RandomState(seed)
+    return dict(
+        x_u8=rng.randint(0, 255, (2, h, w, 3), np.uint8),
+        center=np.asarray(inputs["center"]),
+        scale=np.asarray(inputs["scale"]),
+        bbox_height=np.asarray(inputs["bbox_height"]),
+        orig_shape=np.asarray(inputs["orig_shape"]),
+        bbox_info=np.asarray(inputs["bbox_info"]),
+    )
+
+
+class TestExport:
+    def test_round_trip_matches_live_model(self, setup, tmp_path):
+        """save -> load -> call reproduces the live jitted forward exactly
+        (same platform, identical graph up to serialization)."""
+        cfg, model, variables, consts, inputs = setup
+        exp, flat = export_serving(
+            cfg, model, variables, consts, 2, camcalib=False,
+            platforms=("cpu",),
+        )
+        out_dir = str(tmp_path / "bundle")
+        save_exported(out_dir, exp, flat, cfg, 2, False)
+        served = load_exported(out_dir)
+        args = _call_args(cfg, inputs)
+        got = served(**args)
+        assert set(got) == set(OUTPUT_KEYS)
+
+        # live reference: identical normalization + forward
+        mean = jnp.asarray(IMG_NORM_MEAN, jnp.float32)
+        std = jnp.asarray(IMG_NORM_STD, jnp.float32)
+        x = (jnp.asarray(args["x_u8"]).astype(jnp.float32) / 255.0 - mean) / std
+        live = jax.jit(
+            lambda v, c, *a: model.apply(v, c, *a, train=False)
+        )(variables, consts, x, args["center"], args["scale"],
+          args["bbox_height"], args["orig_shape"], args["bbox_info"])
+        vis = live["vis"]
+        np.testing.assert_allclose(
+            np.asarray(got["verts"]), np.asarray(vis["local_smpl_vertices"]),
+            rtol=1e-5, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got["verts_world"]), np.asarray(vis["smpl_vertices"]),
+            rtol=1e-5, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got["focal_length"]), np.asarray(vis["focal_length"]),
+            rtol=1e-6,
+        )
+
+        # meta sanity: signature + dtypes recorded
+        meta = json.load(open(os.path.join(out_dir, "meta.json")))
+        assert meta["batch_size"] == 2 and meta["camcalib"] is False
+        assert meta["n_weights"] == len(flat)
+        assert meta["output_keys"] == list(OUTPUT_KEYS)
+
+    def test_multiplatform_lowering_and_camcalib(self, setup, tmp_path):
+        """cpu+tpu lowering from a CPU-only process; camcalib variant takes
+        the (1, H, W, 3) full frame and produces a non-identity rotation."""
+        cfg, model, variables, consts, inputs = setup
+        exp, flat = export_serving(
+            cfg, model, variables, consts, 2, camcalib=True,
+            platforms=("cpu", "tpu"),
+        )
+        assert set(exp.platforms) == {"cpu", "tpu"}
+        out_dir = str(tmp_path / "bundle_cc")
+        save_exported(out_dir, exp, flat, cfg, 2, True)
+        served = load_exported(out_dir)
+        args = _call_args(cfg, inputs)
+        with pytest.raises(ValueError):
+            served(**args)  # camcalib artifact requires full_u8
+        ch, cw = cfg.cam_img_size
+        args["full_u8"] = np.random.RandomState(3).randint(
+            0, 255, (1, ch, cw, 3), np.uint8
+        )
+        got = served(**args)
+        rot = np.asarray(got["cam_rotmat"])
+        assert np.isfinite(rot).all()
+        assert not np.allclose(rot[0], np.eye(3), atol=1e-4)
+
+    def test_loader_needs_no_model_code(self, setup, tmp_path):
+        """The bundle is consumed by a fresh process importing ONLY
+        jax+numpy+the loader module — no flax model construction."""
+        import subprocess
+        import sys
+
+        cfg, model, variables, consts, inputs = setup
+        exp, flat = export_serving(
+            cfg, model, variables, consts, 2, camcalib=False,
+            platforms=("cpu",),
+        )
+        out_dir = str(tmp_path / "bundle_sub")
+        save_exported(out_dir, exp, flat, cfg, 2, False)
+        h, w = cfg.crop_hw
+        code = f"""
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+from whmr_tpu.inference.export import load_exported
+served = load_exported({out_dir!r})
+rng = np.random.RandomState(0)
+out = served(
+    rng.randint(0, 255, (2, {h}, {w}, 3), np.uint8),
+    rng.uniform(200, 1080, (2, 2)).astype(np.float32),
+    np.ones(2, np.float32), np.full(2, 300, np.float32),
+    np.tile([720.0, 1280.0], (2, 1)).astype(np.float32),
+    rng.randn(2, 5).astype(np.float32) / 10,
+)
+assert out["verts"].shape == (2, 6890, 3), out["verts"].shape
+assert all(np.isfinite(np.asarray(v)).all() for v in out.values())
+print("SUBPROCESS_OK")
+"""
+        env = dict(os.environ)
+        env.pop("JAX_PLATFORMS", None)
+        res = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            env=env, timeout=600,
+        )
+        assert "SUBPROCESS_OK" in res.stdout, res.stderr[-2000:]

@@ -251,6 +251,15 @@ def load_yaml(path: str) -> WHMRConfig:
         ("LOSS", "GT_TRAIN_WEIGHT"): "loss.gt_train_weight",
         ("SOLVER", "GAMMA"): "train.lr_gamma",
         ("SOLVER", "EPOCHS"): "train.lr_decay_epochs",
+        # backbone-scale section (net-new: the reference configures ViT via a
+        # vendored mmcv file, ViTPose_base_coco_256x192.py:43-57; here the
+        # L/H variants are first-class YAML — see configs/vit-l.yaml)
+        ("MODEL", "VIT", "EMBED_DIM"): "vit.embed_dim",
+        ("MODEL", "VIT", "DEPTH"): "vit.depth",
+        ("MODEL", "VIT", "NUM_HEADS"): "vit.num_heads",
+        ("MODEL", "VIT", "MLP_RATIO"): "vit.mlp_ratio",
+        ("MODEL", "VIT", "DROP_PATH_RATE"): "vit.drop_path_rate",
+        ("MODEL", "VIT", "REMAT"): "vit.remat",
     }
     overrides = {}
     for keys, dst in mapping.items():

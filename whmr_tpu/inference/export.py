@@ -1,0 +1,218 @@
+"""AOT serving export: freeze the jitted WHMR forward into a portable
+StableHLO artifact (`jax.export`) plus a flat weights bundle.
+
+Net-new vs the reference, whose only deployment story is loading the
+full torch codebase and checkpoint into a live process
+(demo/tester.py:55-66). An exported bundle:
+
+- pins the EXACT traced graph (no Python model code, flax, or whmr_tpu
+  needed at serving time — just `jax` + `numpy`),
+- is lowered for multiple platforms at once (default cpu+tpu), so the
+  same artifact serves on a TPU host and runs in CPU CI,
+- carries its own weights (`weights.npz`) and input signature
+  (`meta.json`), and is restored with `load_exported(dir)`.
+
+Layout of an export directory:
+    forward.jaxexport   serialized jax.export.Exported bytes
+    weights.npz         flattened (variables, consts) leaves, key = index;
+                        bf16 leaves stored as fp32 (npz has no bf16) and
+                        cast back on load per meta dtype strings
+    meta.json           input signature, dtypes, output keys, versions
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from whmr_tpu.config import IMG_NORM_MEAN, IMG_NORM_STD, WHMRConfig
+
+EXPORT_GRAPH = "forward.jaxexport"
+EXPORT_WEIGHTS = "weights.npz"
+EXPORT_META = "meta.json"
+
+# The demo/serving output surface (mirrors pipeline.WHMRPipeline._fwd).
+OUTPUT_KEYS = (
+    "verts", "verts_world", "pred_cam_t", "focal_length", "cam_rotmat",
+    "render_rotmat", "shape", "global_pose", "local_pose",
+)
+
+
+def make_serving_fn(cfg: WHMRConfig, model, treedef, camcalib: bool):
+    """Serving graph: uint8 images in (4x fewer transfer bytes than fp32,
+    normalize on device — same trade as pipeline.py), demo vis dict out.
+
+    flat: flattened (variables, consts) leaves, weights as ARGUMENTS so the
+    artifact is weight-agnostic (and the traced graph stays small — the
+    axon remote-compile 413 lesson generalizes to serialized artifacts).
+    """
+
+    def serve(flat, x_u8, center, scale, bbox_height, orig_shape, bbox_info,
+              *rest):
+        variables, consts = jax.tree.unflatten(treedef, flat)
+        mean = jnp.asarray(IMG_NORM_MEAN, jnp.float32)
+        std = jnp.asarray(IMG_NORM_STD, jnp.float32)
+        x = (x_u8.astype(jnp.float32) / 255.0 - mean) / std
+        full_x = None
+        if camcalib:
+            full_x = (rest[0].astype(jnp.float32) / 255.0 - mean) / std
+        out = model.apply(
+            variables, consts, x, center, scale, bbox_height, orig_shape,
+            bbox_info, train=False, full_x=full_x,
+        )
+        vis = out["vis"]
+        return {
+            "verts": vis["local_smpl_vertices"],
+            "verts_world": vis["smpl_vertices"],
+            "pred_cam_t": vis["pred_cam_t"],
+            "focal_length": vis["focal_length"],
+            "cam_rotmat": vis["cam_rotmat"],
+            "render_rotmat": vis["render_rotmat"],
+            "shape": vis["shape"],
+            "global_pose": vis["global_pose"],
+            "local_pose": vis["local_pose"],
+        }
+
+    return serve
+
+
+def batch_arg_structs(
+    cfg: WHMRConfig, batch_size: int, camcalib: bool
+) -> Tuple[jax.ShapeDtypeStruct, ...]:
+    """ShapeDtypeStructs of the serving batch arguments (after the flat
+    weights), matching prepare_crop_batch's host-side layout."""
+    h, w = cfg.crop_hw
+    f32 = jnp.float32
+    args = [
+        jax.ShapeDtypeStruct((batch_size, h, w, 3), jnp.uint8),   # x_u8
+        jax.ShapeDtypeStruct((batch_size, 2), f32),               # center
+        jax.ShapeDtypeStruct((batch_size,), f32),                 # scale
+        jax.ShapeDtypeStruct((batch_size,), f32),                 # bbox_height
+        jax.ShapeDtypeStruct((batch_size, 2), f32),               # orig_shape
+        jax.ShapeDtypeStruct((batch_size, 5), f32),               # bbox_info
+    ]
+    if camcalib:
+        ch, cw = cfg.cam_img_size
+        # one full frame per batch; CamCalib broadcasts (whmr.py:194-199)
+        args.append(jax.ShapeDtypeStruct((1, ch, cw, 3), jnp.uint8))
+    return tuple(args)
+
+
+def export_serving(
+    cfg: WHMRConfig,
+    model,
+    variables,
+    consts,
+    batch_size: int,
+    camcalib: bool = False,
+    platforms: Tuple[str, ...] = ("cpu", "tpu"),
+):
+    """Lower + export the serving forward. Returns (Exported, flat leaves)."""
+    flat, treedef = jax.tree.flatten((variables, consts))
+    serve = make_serving_fn(cfg, model, treedef, camcalib)
+    flat_structs = [
+        jax.ShapeDtypeStruct(
+            np.shape(a), getattr(a, "dtype", None) or np.asarray(a).dtype
+        )
+        for a in flat
+    ]
+    args = batch_arg_structs(cfg, batch_size, camcalib)
+    exp = jax.export.export(jax.jit(serve), platforms=list(platforms))(
+        flat_structs, *args
+    )
+    return exp, flat
+
+
+def save_exported(
+    out_dir: str,
+    exp,
+    flat,
+    cfg: WHMRConfig,
+    batch_size: int,
+    camcalib: bool,
+) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, EXPORT_GRAPH), "wb") as f:
+        f.write(exp.serialize())
+    arrays = {}
+    dtypes = []
+    for i, a in enumerate(flat):
+        a = np.asarray(jax.device_get(a))
+        dtypes.append(str(a.dtype))
+        if a.dtype == jnp.bfloat16:
+            a = a.astype(np.float32)  # npz cannot store bf16
+        arrays[f"{i:05d}"] = a
+    # compressed: the SMPL consts (dense Dmap/posedirs matrices) are mostly
+    # zeros — ~216 MB raw shrinks by an order of magnitude
+    np.savez_compressed(os.path.join(out_dir, EXPORT_WEIGHTS), **arrays)
+    meta = {
+        "format_version": 1,
+        "jax_version": jax.__version__,
+        "platforms": list(exp.platforms),
+        "batch_size": batch_size,
+        "camcalib": camcalib,
+        "crop_hw": list(cfg.crop_hw),
+        "cam_img_size": list(cfg.cam_img_size),
+        "n_weights": len(flat),
+        "weight_dtypes": dtypes,
+        "output_keys": list(OUTPUT_KEYS),
+        "img_norm_mean": list(IMG_NORM_MEAN),
+        "img_norm_std": list(IMG_NORM_STD),
+    }
+    with open(os.path.join(out_dir, EXPORT_META), "w") as f:
+        json.dump(meta, f, indent=1)
+
+
+class ExportedWHMR:
+    """Serving-side loader: needs only jax + numpy, no model code.
+
+    >>> served = ExportedWHMR("export_dir/")
+    >>> out = served(x_u8, center, scale, bbox_height, orig_shape, bbox_info)
+    >>> out["verts"].shape   # (B, 6890, 3)
+    """
+
+    def __init__(self, path: str):
+        with open(os.path.join(path, EXPORT_META)) as f:
+            self.meta = json.load(f)
+        with open(os.path.join(path, EXPORT_GRAPH), "rb") as f:
+            self.exported = jax.export.deserialize(f.read())
+        z = np.load(os.path.join(path, EXPORT_WEIGHTS))
+        self.weights = [
+            jnp.asarray(z[f"{i:05d}"], dtype=self.meta["weight_dtypes"][i])
+            for i in range(self.meta["n_weights"])
+        ]
+        self.batch_size = self.meta["batch_size"]
+        self.camcalib = self.meta["camcalib"]
+        # jit the exported callable ONCE: repeated serving calls then take
+        # the compiled-dispatch fast path instead of re-tracing exp.call
+        self._call = jax.jit(self.exported.call)
+
+    def __call__(
+        self,
+        x_u8: np.ndarray,
+        center: np.ndarray,
+        scale: np.ndarray,
+        bbox_height: np.ndarray,
+        orig_shape: np.ndarray,
+        bbox_info: np.ndarray,
+        full_u8: Optional[np.ndarray] = None,
+    ) -> Dict[str, jnp.ndarray]:
+        args = [self.weights, x_u8, center, scale, bbox_height, orig_shape,
+                bbox_info]
+        if self.camcalib:
+            if full_u8 is None:
+                raise ValueError(
+                    "this artifact was exported with camcalib=True; pass "
+                    "full_u8 (1, H, W, 3) uint8"
+                )
+            args.append(full_u8)
+        return self._call(*args)
+
+
+def load_exported(path: str) -> ExportedWHMR:
+    return ExportedWHMR(path)
