@@ -28,7 +28,7 @@ def main() -> None:
     from whmr_tpu.inference.export import load_exported
 
     served = load_exported(bundle)
-    b = served.batch_size
+    b = served.batch_size or 48  # polymorphic bundle: bench at the optimum
     h, w = served.meta["crop_hw"]
     rng = np.random.RandomState(0)
     img_h, img_w = 720.0, 1280.0

@@ -124,6 +124,44 @@ class TestExport:
         assert np.isfinite(rot).all()
         assert not np.allclose(rot[0], np.eye(3), atol=1e-4)
 
+    def test_batch_polymorphic_bundle(self, setup, tmp_path):
+        """batch_size=0 exports ONE artifact serving any batch size
+        (jax.export symbolic dim), surviving serialization, and matching
+        the live model at each concrete size."""
+        cfg, model, variables, consts, inputs = setup
+        exp, flat = export_serving(
+            cfg, model, variables, consts, None, camcalib=False,
+            platforms=("cpu",),
+        )
+        out_dir = str(tmp_path / "bundle_poly")
+        save_exported(out_dir, exp, flat, cfg, None, False)
+        served = load_exported(out_dir)
+        assert served.batch_size is None
+        h, w = cfg.crop_hw
+        mean = jnp.asarray(IMG_NORM_MEAN, jnp.float32)
+        std = jnp.asarray(IMG_NORM_STD, jnp.float32)
+        live = jax.jit(lambda v, c, *a: model.apply(v, c, *a, train=False))
+        for bs in (2, 5):
+            inp = make_example_inputs(cfg, bs, seed=bs)
+            x_u8 = np.random.RandomState(bs).randint(
+                0, 255, (bs, h, w, 3), np.uint8
+            )
+            got = served(
+                x_u8, np.asarray(inp["center"]), np.asarray(inp["scale"]),
+                np.asarray(inp["bbox_height"]), np.asarray(inp["orig_shape"]),
+                np.asarray(inp["bbox_info"]),
+            )
+            assert got["verts"].shape == (bs, 6890, 3)
+            x = (jnp.asarray(x_u8).astype(jnp.float32) / 255.0 - mean) / std
+            ref = live(
+                variables, consts, x, inp["center"], inp["scale"],
+                inp["bbox_height"], inp["orig_shape"], inp["bbox_info"],
+            )["vis"]
+            np.testing.assert_allclose(
+                np.asarray(got["verts"]),
+                np.asarray(ref["local_smpl_vertices"]), rtol=1e-5, atol=1e-5,
+            )
+
     def test_loader_needs_no_model_code(self, setup, tmp_path):
         """The bundle is consumed by a fresh process importing ONLY
         jax+numpy+the loader module — no flax model construction."""

@@ -82,10 +82,19 @@ def make_serving_fn(cfg: WHMRConfig, model, treedef, camcalib: bool):
 
 
 def batch_arg_structs(
-    cfg: WHMRConfig, batch_size: int, camcalib: bool
+    cfg: WHMRConfig, batch_size: Optional[int], camcalib: bool
 ) -> Tuple[jax.ShapeDtypeStruct, ...]:
     """ShapeDtypeStructs of the serving batch arguments (after the flat
-    weights), matching prepare_crop_batch's host-side layout."""
+    weights), matching prepare_crop_batch's host-side layout.
+
+    batch_size None/0 -> batch-POLYMORPHIC artifact (jax.export symbolic
+    dim): one bundle serves any batch size, compiled per concrete shape at
+    first use. With camcalib the symbolic batch is constrained to B >= 2 so
+    the (1, H, W, 3) full-frame broadcast (whmr.py:194-199) stays decidable
+    under shape polymorphism."""
+    if not batch_size:
+        scope = jax.export.SymbolicScope(("B >= 2",) if camcalib else ())
+        (batch_size,) = jax.export.symbolic_shape("B", scope=scope)
     h, w = cfg.crop_hw
     f32 = jnp.float32
     args = [
@@ -108,7 +117,7 @@ def export_serving(
     model,
     variables,
     consts,
-    batch_size: int,
+    batch_size: Optional[int],
     camcalib: bool = False,
     platforms: Tuple[str, ...] = ("cpu", "tpu"),
 ):
@@ -133,7 +142,7 @@ def save_exported(
     exp,
     flat,
     cfg: WHMRConfig,
-    batch_size: int,
+    batch_size: Optional[int],
     camcalib: bool,
 ) -> None:
     os.makedirs(out_dir, exist_ok=True)
@@ -154,7 +163,7 @@ def save_exported(
         "format_version": 1,
         "jax_version": jax.__version__,
         "platforms": list(exp.platforms),
-        "batch_size": batch_size,
+        "batch_size": batch_size or 0,  # 0 = batch-polymorphic
         "camcalib": camcalib,
         "crop_hw": list(cfg.crop_hw),
         "cam_img_size": list(cfg.cam_img_size),
@@ -186,7 +195,7 @@ class ExportedWHMR:
             jnp.asarray(z[f"{i:05d}"], dtype=self.meta["weight_dtypes"][i])
             for i in range(self.meta["n_weights"])
         ]
-        self.batch_size = self.meta["batch_size"]
+        self.batch_size = self.meta["batch_size"] or None  # None = any
         self.camcalib = self.meta["camcalib"]
         # jit the exported callable ONCE: repeated serving calls then take
         # the compiled-dispatch fast path instead of re-tracing exp.call

@@ -19,7 +19,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output", required=True, help="bundle output directory")
     p.add_argument("--batch_size", type=int, default=48,
                    help="fixed serving batch (48 is the v5e throughput "
-                        "optimum, BASELINE.md)")
+                        "optimum, BASELINE.md); 0 exports a "
+                        "batch-POLYMORPHIC artifact (any batch size, "
+                        "compiled per shape at first use)")
     p.add_argument("--camcalib", action="store_true",
                    help="include the CamCalib full-frame branch "
                         "(demo graph, tester.py:100-104)")
@@ -78,7 +80,7 @@ def main(argv=None):
         served = load_exported(args.output)
         h, w = cfg.crop_hw
         rng = np.random.RandomState(0)
-        b = args.batch_size
+        b = args.batch_size or 4
         img_h, img_w = 720.0, 1280.0
         bbox_height = rng.uniform(150, 500, b).astype(np.float32)
         center = np.stack(
