@@ -21,9 +21,66 @@ request).
 
 import argparse
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
+
+
+def wait_for_tpu(deadline_s: float = 900.0, probe_timeout_s: float = 150.0) -> None:
+    """Block until the axon TPU backend answers, or the deadline passes.
+
+    The pool occasionally drops a client mid-claim (e.g. a benchmark killed
+    by a timeout) and new clients then fail/hang with UNAVAILABLE until the
+    stale grant expires. jax caches backend-init failures per process, so
+    the probe runs in SUBPROCESSES; this process touches jax only after a
+    probe succeeds. No-op when the platform isn't axon (CPU test runs)."""
+    if "axon" not in os.environ.get("JAX_PLATFORMS", ""):
+        return
+    deadline_s = float(os.environ.get("WHMR_BENCH_TPU_WAIT", deadline_s))
+    # The child times ITSELF out (SIGALRM -> exception -> clean interpreter
+    # exit, releasing any in-flight claim); the subprocess timeout is only a
+    # backstop. SIGKILLing a probe mid-claim would strand a fresh grant —
+    # the very condition this loop waits out.
+    code = (
+        "import signal\n"
+        "def _to(*_):\n"
+        "    raise TimeoutError\n"
+        "signal.signal(signal.SIGALRM, _to)\n"
+        f"signal.alarm({max(int(probe_timeout_s) - 20, 10)})\n"
+        "try:\n"
+        "    import jax\n"
+        "    jax.devices()\n"
+        "    print('TPU_OK')\n"
+        "except TimeoutError:\n"
+        "    print('TPU_PROBE_TIMEOUT')\n"
+    )
+    t0 = time.monotonic()
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            res = subprocess.run(
+                [sys.executable, "-c", code], capture_output=True, text=True,
+                timeout=probe_timeout_s,
+            )
+            if "TPU_OK" in res.stdout:
+                if attempt > 1:
+                    print(f"[bench] TPU reachable after {attempt} probes "
+                          f"({time.monotonic() - t0:.0f}s)", file=sys.stderr)
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        remaining = deadline_s - (time.monotonic() - t0)
+        if remaining <= 0:
+            print("[bench] WARNING: TPU probe never succeeded within "
+                  f"{deadline_s:.0f}s; proceeding anyway", file=sys.stderr)
+            return
+        print(f"[bench] TPU unavailable (probe {attempt}); retrying, "
+              f"{remaining:.0f}s left", file=sys.stderr)
+        time.sleep(min(45.0, remaining))
 
 
 def main():
@@ -38,6 +95,8 @@ def main():
              "one frame per batch, rotation broadcast to all crops)",
     )
     opts = ap.parse_args()
+
+    wait_for_tpu()
 
     from whmr_tpu.utils.profiling import enable_compile_cache
 

@@ -7,6 +7,11 @@ a serving deployment of the artifact sees, directly comparable to
 bench.py's live-model headline (same methodology: ITERS chained calls
 inside ONE jit to amortize the axon tunnel RTT, synced on a dependent
 scalar readback; `exp.call` is traceable, so the chain jits like any fn).
+
+The loop carry is folded into the IMAGE inputs and the returned scalar
+sums the predicted vertices: every model input the verts depend on is
+loop-carried, so XLA cannot hoist the forward out of the fori_loop as
+loop-invariant (the hazard bench.py documents for the CamCalib ResNet).
 """
 
 import sys
@@ -26,28 +31,23 @@ def main() -> None:
     from jax import lax
 
     from whmr_tpu.inference.export import load_exported
+    from whmr_tpu.utils.testing import make_example_inputs
 
     served = load_exported(bundle)
     b = served.batch_size or 48  # polymorphic bundle: bench at the optimum
     h, w = served.meta["crop_hw"]
     rng = np.random.RandomState(0)
-    img_h, img_w = 720.0, 1280.0
-    bbox_height = rng.uniform(150, 500, b).astype(np.float32)
-    center = np.stack(
-        [rng.uniform(200, 1080, b), rng.uniform(150, 570, b)], -1
-    ).astype(np.float32)
-    focal = np.float32(np.sqrt(img_h**2 + img_w**2))
-    bbox_info = (np.stack(
-        [center[:, 0] - img_w / 2, center[:, 1] - img_h / 2, bbox_height,
-         np.full(b, img_w), np.full(b, img_h)], -1,
-    ) / focal).astype(np.float32)
+    # the exported signature mirrors make_example_inputs' protocol layout
+    from whmr_tpu.config import WHMRConfig
+
+    inp = make_example_inputs(WHMRConfig(), b)
     args = [
         jnp.asarray(rng.randint(0, 255, (b, h, w, 3), np.uint8)),
-        jnp.asarray(center),
-        jnp.asarray(bbox_height / 200.0),
-        jnp.asarray(bbox_height),
-        jnp.asarray(np.tile([img_h, img_w], (b, 1)).astype(np.float32)),
-        jnp.asarray(bbox_info),
+        jnp.asarray(inp["center"]),
+        jnp.asarray(inp["scale"]),
+        jnp.asarray(inp["bbox_height"]),
+        jnp.asarray(inp["orig_shape"]),
+        jnp.asarray(inp["bbox_info"]),
     ]
     if served.camcalib:
         ch, cw = served.meta["cam_img_size"]
@@ -57,14 +57,24 @@ def main() -> None:
     def chain(n, weights, *a):
         def body(_i, carry):
             aa = list(a)
-            # fold the carry into one fp input so iterations can't be CSE'd
-            aa[1] = aa[1] + (carry * 0).astype(aa[1].dtype)
+            # fold the carry into EVERY image input: iteration i+1's verts
+            # then depend on iteration i, so the forward cannot be hoisted
+            # out of the loop as invariant (carry*0 == 0, values unchanged)
+            bump = (carry * 0).astype(aa[0].dtype)
+            aa[0] = aa[0] + bump
+            if served.camcalib:
+                aa[-1] = aa[-1] + (carry * 0).astype(aa[-1].dtype)
             out = served.exported.call(weights, *aa)
-            return out["focal_length"].sum()
+            return (
+                out["verts"].astype(jnp.float32).sum()
+                + out["verts_world"].astype(jnp.float32).sum()
+            )
 
         return lax.fori_loop(0, n, body, jnp.float32(0.0))
 
-    _ = float(chain(1, served.weights, *args))  # warmup/compile
+    # warm/compile the SAME (n=iters) program the timed loop runs — n is a
+    # static arg, so warming with n=1 would pay a second full remote compile
+    _ = float(chain(iters, served.weights, *args))
     print(f"[bench_export] warm on {jax.devices()[0].platform}; "
           f"batch={b} camcalib={served.camcalib}")
 

@@ -95,6 +95,29 @@ class TestPresets:
         assert cl.pymaf.backbone == ch.pymaf.backbone == "vitpose"
 
 
+class TestConfigFromArgs:
+    def test_cfg_file_plus_misc_layering(self):
+        """config_from_args layers --misc over --cfg_file (the reference's
+        parse_args_extend order, core/cfgs.py:72-96) and is the shared
+        resolver for every CLI."""
+        import argparse
+        import os
+
+        from whmr_tpu.config import config_from_args
+
+        root = os.path.join(os.path.dirname(__file__), "..", "configs")
+        args = argparse.Namespace(
+            cfg_file=os.path.join(root, "vit-l.yaml"),
+            misc=["vit.depth", "6", "train.batch_size", "8"],
+        )
+        cfg = config_from_args(args)
+        assert cfg.vit.embed_dim == 1024  # from the YAML
+        assert cfg.vit.depth == 6         # misc wins over YAML
+        assert cfg.train.batch_size == 8
+        # absent attributes fall back to defaults
+        assert config_from_args(argparse.Namespace()) == WHMRConfig()
+
+
 class TestCliParsers:
     def test_misc_overrides_in_all_clis(self):
         from whmr_tpu.inference.demo_cli import build_parser as demo_p

@@ -277,3 +277,16 @@ def load_yaml(path: str) -> WHMRConfig:
         if mlp:
             cfg = replace(cfg, pymaf=replace(cfg.pymaf, mlp_dim=tuple(mlp)))
     return cfg.with_overrides(**overrides)
+
+
+def config_from_args(args) -> WHMRConfig:
+    """Shared CLI config resolution: `--cfg_file` YAML base (reference-style
+    schema, incl. the MODEL.VIT L/H sections) + dotted `--misc` overrides.
+    Mirrors the reference's parse_args_extend layering (core/cfgs.py:72-96)
+    across every console script."""
+    cfg_file = getattr(args, "cfg_file", None)
+    cfg = load_yaml(cfg_file) if cfg_file else WHMRConfig()
+    misc = getattr(args, "misc", None)
+    if misc:
+        cfg = cfg.with_overrides(**dict(zip(misc[::2], misc[1::2])))
+    return cfg

@@ -195,6 +195,8 @@ def main(argv=None):
     p.add_argument("--zip", action="store_true", dest="make_zip")
     p.add_argument("--wipe", action="store_true",
                    help="delete stale results in out_dir first (val_results.py:50-58)")
+    p.add_argument("--cfg_file", default=None,
+                   help="reference-style YAML config (e.g. configs/vit-l.yaml)")
     p.add_argument("--misc", nargs="*", default=[])
     args = p.parse_args(argv)
 
@@ -202,13 +204,11 @@ def main(argv=None):
 
     enable_compile_cache()
 
-    from whmr_tpu.config import WHMRConfig
+    from whmr_tpu.config import config_from_args
     from whmr_tpu.data.npz_dataset import NpzDataset
     from whmr_tpu.inference.eval_cli import load_model_state
 
-    cfg = WHMRConfig()
-    if args.misc:
-        cfg = cfg.with_overrides(**dict(zip(args.misc[::2], args.misc[1::2])))
+    cfg = config_from_args(args)
     model, variables, consts, _ = load_model_state(args, cfg)
     dataset = NpzDataset(cfg, args.dataset_npz, args.img_dir, is_train=False)
 

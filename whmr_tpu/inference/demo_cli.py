@@ -23,6 +23,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no_render", action="store_true")
     p.add_argument("--save_obj", action="store_true")
     p.add_argument("--no_camcalib", action="store_true")
+    p.add_argument("--cfg_file", default=None,
+                   help="reference-style YAML config (e.g. configs/vit-l.yaml)")
     p.add_argument("--misc", nargs="*", default=[],
                    help="dotted config overrides: key value [key value ...]")
     return p
@@ -36,7 +38,7 @@ def build_pipeline(args):
     import jax.numpy as jnp
     import numpy as np
 
-    from whmr_tpu.config import WHMRConfig
+    from whmr_tpu.config import config_from_args
     from whmr_tpu.data.assets import get_assets
     from whmr_tpu.inference.pipeline import DemoPipeline
     from whmr_tpu.models.regressor import body_consts_from_assets
@@ -45,9 +47,7 @@ def build_pipeline(args):
     from whmr_tpu.utils.checkpoint import CheckpointManager
     from whmr_tpu.utils.testing import make_example_inputs
 
-    cfg = WHMRConfig()
-    if args.misc:
-        cfg = cfg.with_overrides(**dict(zip(args.misc[::2], args.misc[1::2])))
+    cfg = config_from_args(args)
     assets = get_assets(args.data_dir)
     consts = body_consts_from_assets(assets)
     model = WHMR(cfg)

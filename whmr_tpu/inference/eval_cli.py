@@ -57,6 +57,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="shard eval batches over N devices (0 = single "
                         "device; net-new vs the reference's rank-0-only "
                         "validation, train.py:44-47)")
+    p.add_argument("--cfg_file", default=None,
+                   help="reference-style YAML config (e.g. configs/vit-l.yaml "
+                        "for checkpoints trained at that scale)")
     p.add_argument("--misc", nargs="*", default=[],
                    help="dotted config overrides: key value [key value ...]")
     return p
@@ -126,14 +129,18 @@ def main(argv=None):
     import jax.numpy as jnp
     import numpy as np
 
-    from whmr_tpu.config import WHMRConfig
+    from whmr_tpu.config import config_from_args
     from whmr_tpu.data.loader import BatchLoader
     from whmr_tpu.data.npz_dataset import NpzDataset
     from whmr_tpu.inference.evaluate import run_evaluation
 
-    cfg = WHMRConfig()
-    if args.misc:
-        cfg = cfg.with_overrides(**dict(zip(args.misc[::2], args.misc[1::2])))
+    cfg = config_from_args(args)
+    if args.data_parallel and (args.eval_parts or args.coco_ap):
+        # those protocol drivers run their own single-device loops; failing
+        # beats silently evaluating unsharded under a sharding flag
+        raise SystemExit(
+            "--data_parallel is not supported with --eval_parts/--coco_ap"
+        )
     model, variables, consts, assets = load_model_state(args, cfg)
 
     ds = NpzDataset(cfg, args.dataset_npz, args.img_dir, is_train=False)

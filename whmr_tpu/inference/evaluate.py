@@ -239,7 +239,10 @@ def run_evaluation(
                 )
                 for k, v in batch.items()
             }
-            # padded rows must not count (valid masks every metric sum)
+            # THE masking mechanism: padded rows carry valid=0 so they
+            # contribute nothing to any metric sum. (Zero-fill above already
+            # implies it, but masking must not silently depend on the
+            # padding fill value.)
             batch["valid"] = batch["valid"].at[n:].set(0)
         return (
             {k: jax.device_put(v, data_sharding) for k, v in batch.items()},

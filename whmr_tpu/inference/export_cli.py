@@ -33,6 +33,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--check", action="store_true",
                    help="reload the bundle and run one batch through it")
     p.add_argument("--data_dir", default=None, help="asset dir")
+    p.add_argument("--cfg_file", default=None,
+                   help="reference-style YAML config — REQUIRED to match the "
+                        "checkpoint's geometry when it was trained with one "
+                        "(e.g. configs/vit-l.yaml)")
     p.add_argument("--misc", nargs="*", default=[],
                    help="dotted config overrides: key value [key value ...]")
     return p
@@ -44,7 +48,7 @@ def main(argv=None):
     import jax.numpy as jnp
     import numpy as np
 
-    from whmr_tpu.config import WHMRConfig
+    from whmr_tpu.config import config_from_args
     from whmr_tpu.inference.eval_cli import load_model_state
     from whmr_tpu.inference.export import (
         export_serving,
@@ -53,9 +57,7 @@ def main(argv=None):
     )
     from whmr_tpu.models.whmr import WHMR
 
-    cfg = WHMRConfig()
-    if args.misc:
-        cfg = cfg.with_overrides(**dict(zip(args.misc[::2], args.misc[1::2])))
+    cfg = config_from_args(args)
     model, variables, consts, _assets = load_model_state(args, cfg)
     if args.bf16:
         model = WHMR(cfg, dtype=jnp.bfloat16)
@@ -77,27 +79,20 @@ def main(argv=None):
           f"batch={args.batch_size}, camcalib={args.camcalib})")
 
     if args.check:
+        from whmr_tpu.utils.testing import make_example_inputs
+
         served = load_exported(args.output)
         h, w = cfg.crop_hw
         rng = np.random.RandomState(0)
         b = args.batch_size or 4
-        img_h, img_w = 720.0, 1280.0
-        bbox_height = rng.uniform(150, 500, b).astype(np.float32)
-        center = np.stack(
-            [rng.uniform(200, 1080, b), rng.uniform(150, 570, b)], -1
-        ).astype(np.float32)
-        focal = np.float32(np.sqrt(img_h**2 + img_w**2))
-        bbox_info = (np.stack(
-            [center[:, 0] - img_w / 2, center[:, 1] - img_h / 2, bbox_height,
-             np.full(b, img_w), np.full(b, img_h)], -1,
-        ) / focal).astype(np.float32)
+        inp = make_example_inputs(cfg, b)
         call_args = dict(
             x_u8=rng.randint(0, 255, (b, h, w, 3), np.uint8),
-            center=center,
-            scale=(bbox_height / 200.0).astype(np.float32),
-            bbox_height=bbox_height,
-            orig_shape=np.tile([img_h, img_w], (b, 1)).astype(np.float32),
-            bbox_info=bbox_info,
+            center=np.asarray(inp["center"]),
+            scale=np.asarray(inp["scale"]),
+            bbox_height=np.asarray(inp["bbox_height"]),
+            orig_shape=np.asarray(inp["orig_shape"]),
+            bbox_info=np.asarray(inp["bbox_info"]),
         )
         if args.camcalib:
             ch, cw = cfg.cam_img_size
