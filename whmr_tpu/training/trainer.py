@@ -238,7 +238,11 @@ class Trainer:
         )
         return rep_p["matched"]
 
-    def save(self, metric: Optional[float] = None, batch_idx: int = 0):
+    def save(self, metric: Optional[float] = None, batch_idx: int = 0,
+             block: bool = True):
+        """block=False makes the disk write asynchronous (the device_get
+        snapshot is still synchronous, so the next step may donate/overwrite
+        device buffers safely); used by mid-epoch periodic saves."""
         self.ckpt.save(
             int(self.state.step),
             {
@@ -250,6 +254,7 @@ class Trainer:
                 "batch_idx": int(batch_idx),
             },
             metric=metric,
+            block=block,
         )
 
     # -- train loop ----------------------------------------------------------
@@ -297,7 +302,8 @@ class Trainer:
                 last = {k: float(v) for k, v in metrics.items()}
                 self.metrics.write(int(self.state.step), last)
             if save_every and (i + 1) % save_every == 0:
-                self.save(batch_idx=i + 1)
+                # async disk write: training resumes after the host snapshot
+                self.save(batch_idx=i + 1, block=False)
         return last
 
     def make_validate_fn(self, val_loader_factory, gendered_smpl=None):

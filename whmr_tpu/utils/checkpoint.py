@@ -29,11 +29,18 @@ class CheckpointManager:
         )
         self._best_metric: Optional[float] = None
         self._best_dir = os.path.join(self.save_dir, "best")
+        self._best_ckptr = ocp.StandardCheckpointer()
 
-    def save(self, step: int, payload: Dict[str, Any], metric: Optional[float] = None, lower_is_better: bool = True):
-        """Save a step checkpoint; track/copy best by `metric`."""
+    def save(self, step: int, payload: Dict[str, Any], metric: Optional[float] = None, lower_is_better: bool = True, block: bool = True):
+        """Save a step checkpoint; track/copy best by `metric`.
+
+        block=False returns once orbax has snapshotted the (host) arrays and
+        the disk write continues on its background thread — net-new vs the
+        reference's synchronous torch.save (saver.py:26-64); mid-epoch
+        periodic saves then cost the device_get only, not the disk IO. Any
+        in-flight save is always drained first, so saves never interleave."""
+        self.wait_until_finished()
         self._mgr.save(step, args=ocp.args.StandardSave(payload))
-        self._mgr.wait_until_finished()
         if metric is not None:
             better = (
                 self._best_metric is None
@@ -41,20 +48,27 @@ class CheckpointManager:
             )
             if better:
                 self._best_metric = float(metric)
-                best = ocp.StandardCheckpointer()
                 if os.path.exists(self._best_dir):
                     import shutil
 
                     shutil.rmtree(self._best_dir)
-                best.save(self._best_dir, payload)
-                best.wait_until_finished()
+                self._best_ckptr.save(self._best_dir, payload)
+        if block:
+            self.wait_until_finished()
+
+    def wait_until_finished(self) -> None:
+        """Drain in-flight async writes (step manager + best copy)."""
+        self._mgr.wait_until_finished()
+        self._best_ckptr.wait_until_finished()
 
     def latest_step(self) -> Optional[int]:
+        self._mgr.wait_until_finished()
         return self._mgr.latest_step()
 
     def restore(self, step: Optional[int] = None, template: Optional[Dict[str, Any]] = None) -> Optional[Dict[str, Any]]:
         """Restore by step (default latest). With a template pytree the
         arrays come back with matching structure/dtypes."""
+        self.wait_until_finished()
         step = step if step is not None else self.latest_step()
         if step is None:
             return None
@@ -65,6 +79,7 @@ class CheckpointManager:
         return self._mgr.restore(step)
 
     def restore_best(self, template: Optional[Dict[str, Any]] = None):
+        self._best_ckptr.wait_until_finished()
         if not os.path.exists(self._best_dir):
             return None
         ck = ocp.StandardCheckpointer()
