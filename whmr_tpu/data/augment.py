@@ -252,6 +252,25 @@ def normalize_image(img01: np.ndarray) -> np.ndarray:
     return (img01 - mean) / std
 
 
+def finalize_crop(crop: np.ndarray, pn: np.ndarray) -> np.ndarray:
+    """Fused channel-noise + [0,1] + ImageNet normalization.
+
+    Same op order as apply_channel_noise(crop, pn)/255 -> normalize_image
+    (*pn, clip, /255, -mean, /std) but computed in f32 throughout with
+    in-place passes and no astype copies; the unfused chain accidentally
+    upcast to f64 via the f64 noise factors, so results differ by <=1 ulp
+    of f32. This chain is ~25% of the host per-item cost (BASELINE.md
+    loader profile), and the loader is the chip's feed bottleneck."""
+    mean = np.asarray(IMG_NORM_MEAN, np.float32)
+    std = np.asarray(IMG_NORM_STD, np.float32)
+    out = crop * pn[None, None, :].astype(np.float32)
+    np.clip(out, 0, 255, out=out)
+    out /= 255.0
+    out -= mean
+    out /= std
+    return out
+
+
 def j2d_processing(kp, center, scale, res, rot, flip, is_smpl=False):
     """GT 2D keypoints -> crop frame, normalized [-1,1] (base_dataset.py:211-223)."""
     kp = kp.copy()

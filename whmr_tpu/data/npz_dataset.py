@@ -172,7 +172,12 @@ class NpzDataset:
         img = cv2.imread(img_path)
         if img is None:
             raise FileNotFoundError(img_path)
-        img = img[:, :, ::-1].astype(np.float32)
+        # Stay in uint8 through crop/flip/occlude/jitter — the REFERENCE
+        # quantizes the crop to uint8 too (imutils.crop:87 resizes via
+        # PIL.Image.fromarray(new_img.astype(np.uint8))), and skipping the
+        # full-image f32 conversion removes the largest astype copy in the
+        # loader hot path (the chip's feed bottleneck, BASELINE.md).
+        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
         orig_shape = np.array(img.shape[:2], np.float32)
 
         # rgb processing (base_dataset.py:184-208); a failed augmented crop
@@ -185,13 +190,16 @@ class NpzDataset:
         if p.flip:
             crop = np.fliplr(crop)
         if self.occluders is not None and self.is_train:
-            crop = A.occlude_with_objects(crop.astype(np.uint8), self.occluders, rng).astype(np.float32)
+            crop = A.occlude_with_objects(crop, self.occluders, rng)
         if self.is_train:
             crop = A.color_jitter(crop, rng)
-        crop = A.apply_channel_noise(crop, p.pn) / 255.0
-        img_norm = A.normalize_image(crop.astype(np.float32))
+        # Slice to the vitpose width BEFORE the per-pixel finalization:
+        # elementwise noise/normalization commutes with slicing (exact),
+        # and 25% of the pixels are dropped anyway (:291-292). color_jitter
+        # must stay pre-slice — its contrast term uses the full-crop mean.
         if cfg.pymaf.backbone == "vitpose":
-            img_norm = img_norm[:, 32:-32]  # 256x256 -> 256x192 (:291-292)
+            crop = crop[:, 32:-32]  # 256x256 -> 256x192 (:291-292)
+        img_norm = A.finalize_crop(crop, p.pn)
 
         pose = (
             A.pose_processing(self.pose[index], p.rot, p.flip)
