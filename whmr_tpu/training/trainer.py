@@ -308,10 +308,22 @@ class Trainer:
 
     def make_validate_fn(self, val_loader_factory, gendered_smpl=None):
         """Validation hook for fit(): runs the eval pipeline over a loader
-        (reference trainer.validate, trainer.py:753-849)."""
+        (reference trainer.validate, trainer.py:753-849).
+
+        On a multi-device data mesh the validation itself is data-parallel
+        (run_evaluation mesh=; the reference validates on rank 0 only,
+        train.py:44-47). With a TP 'model' axis the mesh is NOT passed:
+        run_evaluation replicates params onto the mesh, which would
+        all-gather the very shards TP exists to keep apart — GSPMD instead
+        evaluates with the params' existing shardings."""
         import jax.numpy as jnp
 
         from whmr_tpu.inference.evaluate import run_evaluation
+
+        eval_mesh = None
+        if self.mesh is not None and self.mesh.shape.get("model", 1) == 1 \
+                and self.mesh.size > 1:
+            eval_mesh = self.mesh
 
         def validate(state):
             variables = {"params": state.params, "batch_stats": state.batch_stats}
@@ -336,7 +348,7 @@ class Trainer:
 
             return run_evaluation(
                 self.cfg, self.model, variables, self.consts, batches(),
-                log_every=0, gendered_smpl=gendered_smpl,
+                log_every=0, gendered_smpl=gendered_smpl, mesh=eval_mesh,
             )
 
         return validate
