@@ -40,10 +40,11 @@ def wait_for_tpu(deadline_s: float = 900.0, probe_timeout_s: float = 150.0) -> N
     if "axon" not in os.environ.get("JAX_PLATFORMS", ""):
         return
     deadline_s = float(os.environ.get("WHMR_BENCH_TPU_WAIT", deadline_s))
-    # The child times ITSELF out (SIGALRM -> exception -> clean interpreter
-    # exit, releasing any in-flight claim); the subprocess timeout is only a
-    # backstop. SIGKILLing a probe mid-claim would strand a fresh grant —
-    # the very condition this loop waits out.
+    # The child tries to time ITSELF out (SIGALRM -> exception -> clean
+    # interpreter exit, releasing any in-flight claim). Caveat: if backend
+    # init blocks inside a C call, CPython can't run the handler — the
+    # parent then escalates SIGTERM -> (10 s) -> SIGKILL as a best effort;
+    # only the SIGKILL tail risks stranding a fresh grant.
     code = (
         "import signal\n"
         "def _to(*_):\n"
@@ -61,18 +62,25 @@ def wait_for_tpu(deadline_s: float = 900.0, probe_timeout_s: float = 150.0) -> N
     attempt = 0
     while True:
         attempt += 1
+        proc = subprocess.Popen(
+            [sys.executable, "-c", code],
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        )
         try:
-            res = subprocess.run(
-                [sys.executable, "-c", code], capture_output=True, text=True,
-                timeout=probe_timeout_s,
-            )
-            if "TPU_OK" in res.stdout:
-                if attempt > 1:
-                    print(f"[bench] TPU reachable after {attempt} probes "
-                          f"({time.monotonic() - t0:.0f}s)", file=sys.stderr)
-                return
+            out, _ = proc.communicate(timeout=probe_timeout_s)
         except subprocess.TimeoutExpired:
-            pass
+            out = ""
+            proc.terminate()  # graceful first; see comment above
+            try:
+                proc.wait(timeout=10)
+            except subprocess.TimeoutExpired:
+                proc.kill()
+                proc.wait()
+        if "TPU_OK" in out:
+            if attempt > 1:
+                print(f"[bench] TPU reachable after {attempt} probes "
+                      f"({time.monotonic() - t0:.0f}s)", file=sys.stderr)
+            return
         remaining = deadline_s - (time.monotonic() - t0)
         if remaining <= 0:
             print("[bench] WARNING: TPU probe never succeeded within "

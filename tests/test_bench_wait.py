@@ -15,32 +15,37 @@ import bench  # noqa: E402
 
 
 class TestWaitForTpu:
+    @staticmethod
+    def _fake_popen(stdout):
+        class FakeProc:
+            def __init__(self, *a, **k):
+                pass
+
+            def communicate(self, timeout=None):
+                return stdout, ""
+
+        return FakeProc
+
     def test_noop_off_axon(self, monkeypatch):
         monkeypatch.setenv("JAX_PLATFORMS", "cpu")
         calls = []
-        monkeypatch.setattr(subprocess, "run", lambda *a, **k: calls.append(a))
+        monkeypatch.setattr(
+            subprocess, "Popen", lambda *a, **k: calls.append(a)
+        )
         bench.wait_for_tpu(deadline_s=0.01)
         assert not calls  # never probes when the platform isn't axon
 
     def test_returns_on_probe_ok(self, monkeypatch):
         monkeypatch.setenv("JAX_PLATFORMS", "axon,cpu")
-
-        def fake_run(*a, **k):
-            return subprocess.CompletedProcess(a, 0, stdout="TPU_OK\n", stderr="")
-
-        monkeypatch.setattr(subprocess, "run", fake_run)
+        monkeypatch.setattr(subprocess, "Popen", self._fake_popen("TPU_OK\n"))
         bench.wait_for_tpu(deadline_s=5.0)  # returns without sleeping
 
     def test_deadline_expires_and_proceeds(self, monkeypatch, capsys):
         monkeypatch.setenv("JAX_PLATFORMS", "axon")
         monkeypatch.setenv("WHMR_BENCH_TPU_WAIT", "0.05")
-
-        def fake_run(*a, **k):
-            return subprocess.CompletedProcess(
-                a, 0, stdout="TPU_PROBE_TIMEOUT\n", stderr=""
-            )
-
-        monkeypatch.setattr(subprocess, "run", fake_run)
+        monkeypatch.setattr(
+            subprocess, "Popen", self._fake_popen("TPU_PROBE_TIMEOUT\n")
+        )
         slept = []
         monkeypatch.setattr(bench.time, "sleep", lambda s: slept.append(s))
         bench.wait_for_tpu(deadline_s=900.0)  # env overrides to 0.05s

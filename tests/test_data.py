@@ -193,6 +193,33 @@ class TestLoader:
         with pytest.raises(RuntimeError, match="dataset\\[3\\]"):
             list(loader)
 
+    def test_process_worker_death_raises_not_hangs(self, fake_dataset):
+        """A worker killed by the OS (OOM/segfault stand-in: SIGKILL from
+        inside __getitem__) must surface as RuntimeError in the consumer,
+        not hang the epoch forever (round-3 review finding; torch
+        DataLoader guards this with a SIGCHLD watchdog)."""
+        import os
+        import signal
+
+        cfg = tiny_config()
+        ds = NpzDataset(
+            cfg, str(fake_dataset / "labels.npz"), str(fake_dataset / "images"),
+            is_train=False,
+        )
+
+        class Killer:
+            def __len__(self):
+                return len(ds)
+
+            def __getitem__(self, i):
+                if i == 3:
+                    os.kill(os.getpid(), signal.SIGKILL)
+                return ds[i]
+
+        loader = BatchLoader(Killer(), batch_size=4, num_procs=2, shuffle=False)
+        with pytest.raises(RuntimeError, match="died|missing"):
+            list(loader)
+
     def test_host_sharding_disjoint(self, fake_dataset):
         cfg = tiny_config()
         ds = NpzDataset(

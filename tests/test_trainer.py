@@ -57,6 +57,32 @@ class TestTrainer:
         trainer.train_epoch(batch_iter(cfg, 1, 8), log_every=100)
         assert int(trainer.state.step) == 1
 
+    def test_load_pretrained_orbax_dir(self, tmp_path):
+        """whmr-train --pretrained with an orbax checkpoint DIR (the
+        whmr-convert output form): the saved payload has six top-level keys,
+        so the restore must be template-free — a partial {params,
+        batch_stats} template makes orbax raise (round-3 review finding,
+        reproduced)."""
+        cfg = tiny_config()
+        src = Trainer(cfg, str(tmp_path / "src"), aux_rendering=False)
+        src.train_epoch(batch_iter(cfg, 1, 8), log_every=100)
+        src.save()
+        src_qkv = np.asarray(
+            src.state.params["feature_extractor"]["block0"]["attn"]["qkv"]["kernel"]
+        )
+
+        dst = Trainer(cfg, str(tmp_path / "dst"), aux_rendering=False)
+        n = dst.load_pretrained(os.path.join(str(tmp_path / "src"), "checkpoints"))
+        assert n > 0
+        got = np.asarray(
+            dst.state.params["feature_extractor"]["block0"]["attn"]["qkv"]["kernel"]
+        )
+        np.testing.assert_allclose(got, src_qkv, atol=1e-6)
+        # optimizer/step start fresh (warm start, not resume)
+        assert int(dst.state.step) == 0
+        dst.train_epoch(batch_iter(cfg, 1, 8), log_every=100)
+        assert int(dst.state.step) == 1
+
     def test_epoch_and_checkpoint_roundtrip(self, tmp_path):
         cfg = tiny_config()
         trainer = Trainer(cfg, str(tmp_path / "run"), aux_rendering=False)

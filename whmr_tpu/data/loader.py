@@ -187,8 +187,31 @@ class BatchLoader:
         for _ in procs:
             idx_q.put(None)
 
+        def get_sample():
+            # Liveness watchdog: a worker killed by the OS (OOM, cv2
+            # segfault) never posts its claimed (pos, sample); a bare
+            # out_q.get() would then hang training forever mid-epoch.
+            # torch DataLoader guards the same case with a SIGCHLD watchdog.
+            while True:
+                try:
+                    return out_q.get(timeout=10.0)
+                except queue.Empty:
+                    dead = [p.pid for p in procs if not p.is_alive()
+                            and p.exitcode not in (0, None)]
+                    if dead:
+                        raise RuntimeError(
+                            f"loader worker process(es) died: pids {dead} "
+                            f"(exitcodes {[p.exitcode for p in procs]}); "
+                            "likely OOM or a native crash in decode/augment"
+                        )
+                    if not any(p.is_alive() for p in procs) and out_q.empty():
+                        raise RuntimeError(
+                            "all loader workers exited but samples are "
+                            "still missing — results lost in a worker"
+                        )
+
         try:
-            yield from self._assemble(out_q.get, len(work), n_batches)
+            yield from self._assemble(get_sample, len(work), n_batches)
         finally:
             for p in procs:
                 if p.is_alive():

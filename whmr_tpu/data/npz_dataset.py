@@ -256,7 +256,7 @@ class NpzDataset:
 
         return {
             **extras,
-            "img": img_norm.astype(np.float32),
+            "img": np.asarray(img_norm, np.float32),  # no-copy: already f32
             "pose": pose,
             "betas": self.betas[index].astype(np.float32),
             "keypoints": keypoints,

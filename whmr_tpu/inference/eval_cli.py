@@ -65,6 +65,29 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+_EVAL_MODEL_KEYS = ("img", "center", "scale", "bbox_height", "orig_shape",
+                    "bbox_info")
+
+
+def device_eval_batch(host_batch, extra_keys=(), warn_identity=False):
+    """Shared device-batch prep for every eval protocol: model inputs +
+    requested label keys, with the cam_rotmat fallback in ONE place (the
+    metric protocols warn on the identity substitution; the 2D protocols
+    — COCO AP, LSP parts — never use a GT camera, so they don't)."""
+    import jax.numpy as jnp
+
+    keys = _EVAL_MODEL_KEYS + tuple(extra_keys)
+    b = {k: jnp.asarray(v) for k, v in host_batch.items() if k in keys}
+    n = b["img"].shape[0]
+    if "cam_rotmat" in host_batch:
+        b["cam_rotmat"] = jnp.asarray(host_batch["cam_rotmat"])
+    else:
+        if warn_identity:
+            print("[eval] WARNING: identity cam_rotmat substituted")
+        b["cam_rotmat"] = jnp.broadcast_to(jnp.eye(3), (n, 3, 3))
+    return b, n
+
+
 def load_model_state(args, cfg):
     """Build model + restore checkpoint -> (model, variables, consts, assets)."""
     import jax
@@ -199,16 +222,12 @@ def main(argv=None):
 
     def batches():
         for host_batch in loader:
-            b = {k: jnp.asarray(v) for k, v in host_batch.items()
-                 if k in ("img", "center", "scale", "bbox_height", "orig_shape",
-                          "bbox_info", "pose", "betas", "gender", "global_pose")}
+            b, _n = device_eval_batch(
+                host_batch,
+                extra_keys=("pose", "betas", "gender", "global_pose"),
+                warn_identity=True,
+            )
             b["valid"] = jnp.asarray(host_batch["has_smpl"])
-            n = b["img"].shape[0]
-            if "cam_rotmat" in host_batch:
-                b["cam_rotmat"] = jnp.asarray(host_batch["cam_rotmat"])
-            else:
-                print("[eval] WARNING: identity cam_rotmat substituted")
-                b["cam_rotmat"] = jnp.broadcast_to(jnp.eye(3), (n, 3, 3))
             yield b
 
     mesh = None
@@ -262,11 +281,7 @@ def run_coco_ap_evaluation(args, cfg, model, variables, consts, ds, loader):
     det_score = getattr(ds, "det_score", None)
     dts = {}
     for host_batch in loader:
-        b = {k: jnp.asarray(v) for k, v in host_batch.items()
-             if k in ("img", "center", "scale", "bbox_height", "orig_shape",
-                      "bbox_info")}
-        n = b["img"].shape[0]
-        b["cam_rotmat"] = jnp.broadcast_to(jnp.eye(3), (n, 3, 3))
+        b, n = device_eval_batch(host_batch)
         kp_w = np.asarray(fwd_j(variables, consts, b))  # (B, 49, 2) in [-1,1]
         # unnormalize: px = (kp + 1) * (W/2, H/2) (inverse of regressor.py
         # kp_2d_w normalization)
@@ -322,11 +337,7 @@ def run_parts_evaluation(args, cfg, model, variables, consts, assets, ds, loader
     agg = {"mask_accuracy": 0.0, "mask_f1": 0.0, "parts_accuracy": 0.0}
     count = 0
     for host_batch in loader:
-        b = {k: jnp.asarray(v) for k, v in host_batch.items()
-             if k in ("img", "center", "scale", "bbox_height", "orig_shape",
-                      "bbox_info")}
-        n = b["img"].shape[0]
-        b["cam_rotmat"] = jnp.broadcast_to(jnp.eye(3), (n, 3, 3))
+        b, n = device_eval_batch(host_batch)
         verts, cam = fwd_j(variables, consts, b)
         pred_parts = np.asarray(
             render_part_segmentation(assets, verts, cam, resolution=res)

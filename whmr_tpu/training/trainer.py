@@ -202,17 +202,19 @@ class Trainer:
         else:
             from whmr_tpu.utils.checkpoint import CheckpointManager
 
-            payload = CheckpointManager(path).restore(
-                template={
-                    "params": self.state.params,
-                    "batch_stats": self.state.batch_stats,
-                }
-            )
+            # Template-free restore: orbax StandardRestore REJECTS partial
+            # templates, and the on-disk payload has six top-level keys
+            # (params/batch_stats/opt_state/step/epoch/batch_idx) — a
+            # {params, batch_stats} template crashes. Restoring the saved
+            # structure as-is costs reading the opt_state we discard, but
+            # works for any payload shape (merge_trees below reconciles
+            # leaf-by-leaf, so the source model may even differ).
+            payload = CheckpointManager(path).restore()
             if payload is None:
                 raise FileNotFoundError(f"no checkpoint under {path}")
             converted = {
                 "params": payload["params"],
-                "batch_stats": payload["batch_stats"],
+                "batch_stats": payload.get("batch_stats", {}),
             }
 
         host_params = jax.tree.map(np.asarray, dict(self.state.params))
