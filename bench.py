@@ -37,7 +37,17 @@ def wait_for_tpu(deadline_s: float = 900.0, probe_timeout_s: float = 150.0) -> N
     stale grant expires. jax caches backend-init failures per process, so
     the probe runs in SUBPROCESSES; this process touches jax only after a
     probe succeeds. No-op when the platform isn't axon (CPU test runs)."""
-    if "axon" not in os.environ.get("JAX_PLATFORMS", ""):
+    plats = os.environ.get("JAX_PLATFORMS", "")
+    jmod = sys.modules.get("jax")
+    if jmod is not None:
+        # an in-process override (jax.config.update("jax_platforms", "cpu"),
+        # the tests' pattern) beats the env var — don't probe a backend the
+        # caller isn't going to use
+        try:
+            plats = str(jmod.config.jax_platforms or plats)
+        except Exception:
+            pass
+    if plats.split(",")[0].strip() != "axon":
         return
     deadline_s = float(os.environ.get("WHMR_BENCH_TPU_WAIT", deadline_s))
     # The child tries to time ITSELF out (SIGALRM -> exception -> clean

@@ -35,14 +35,49 @@ class TestWaitForTpu:
         bench.wait_for_tpu(deadline_s=0.01)
         assert not calls  # never probes when the platform isn't axon
 
+    @staticmethod
+    def _fake_axon_jax(monkeypatch):
+        # the pytest process has live jax configured to cpu, which
+        # (deliberately) beats the env var — stand in an axon-configured jax
+        import types
+
+        monkeypatch.setitem(
+            sys.modules, "jax",
+            types.SimpleNamespace(
+                config=types.SimpleNamespace(jax_platforms="axon,cpu")
+            ),
+        )
+
+    def test_in_process_cpu_override_beats_env(self, monkeypatch):
+        """jax.config.update('jax_platforms', 'cpu') (the tests' own
+        pattern) must suppress probing even with JAX_PLATFORMS=axon in the
+        env — otherwise in-process CPU runs stall on a dead pool."""
+        monkeypatch.setenv("JAX_PLATFORMS", "axon")
+        import types
+
+        monkeypatch.setitem(
+            sys.modules, "jax",
+            types.SimpleNamespace(
+                config=types.SimpleNamespace(jax_platforms="cpu")
+            ),
+        )
+        calls = []
+        monkeypatch.setattr(
+            subprocess, "Popen", lambda *a, **k: calls.append(a)
+        )
+        bench.wait_for_tpu(deadline_s=5.0)
+        assert not calls
+
     def test_returns_on_probe_ok(self, monkeypatch):
         monkeypatch.setenv("JAX_PLATFORMS", "axon,cpu")
+        self._fake_axon_jax(monkeypatch)
         monkeypatch.setattr(subprocess, "Popen", self._fake_popen("TPU_OK\n"))
         bench.wait_for_tpu(deadline_s=5.0)  # returns without sleeping
 
     def test_deadline_expires_and_proceeds(self, monkeypatch, capsys):
         monkeypatch.setenv("JAX_PLATFORMS", "axon")
         monkeypatch.setenv("WHMR_BENCH_TPU_WAIT", "0.05")
+        self._fake_axon_jax(monkeypatch)
         monkeypatch.setattr(
             subprocess, "Popen", self._fake_popen("TPU_PROBE_TIMEOUT\n")
         )
