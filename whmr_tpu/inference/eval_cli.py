@@ -57,6 +57,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="shard eval batches over N devices (0 = single "
                         "device; net-new vs the reference's rank-0-only "
                         "validation, train.py:44-47)")
+    p.add_argument("--loader_procs", type=int, default=0,
+                   help="fork-based loader worker processes (0 = threads); "
+                        "same knob as whmr-train")
     p.add_argument("--cfg_file", default=None,
                    help="reference-style YAML config (e.g. configs/vit-l.yaml "
                         "for checkpoints trained at that scale)")
@@ -167,7 +170,8 @@ def main(argv=None):
     model, variables, consts, assets = load_model_state(args, cfg)
 
     ds = NpzDataset(cfg, args.dataset_npz, args.img_dir, is_train=False)
-    loader = BatchLoader(ds, args.batch_size, shuffle=False, drop_last=False)
+    loader = BatchLoader(ds, args.batch_size, shuffle=False, drop_last=False,
+                         num_procs=args.loader_procs)
 
     if args.eval_parts:
         if not args.parts_dir:
