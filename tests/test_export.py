@@ -162,6 +162,35 @@ class TestExport:
                 np.asarray(ref["local_smpl_vertices"]), rtol=1e-5, atol=1e-5,
             )
 
+    def test_demo_pipeline_from_bundle(self, setup, tmp_path):
+        """DemoPipeline(bundle=...) serves the demo from the frozen AOT
+        graph: no live model, no checkpoint, same output surface."""
+        from whmr_tpu.data.assets import synthetic_smpl_assets as _assets
+        from whmr_tpu.inference.pipeline import DemoPipeline
+
+        cfg, model, variables, consts, inputs = setup
+        exp, flat = export_serving(
+            cfg, model, variables, consts, None, camcalib=False,
+            platforms=("cpu",),
+        )
+        out_dir = str(tmp_path / "bundle_demo")
+        save_exported(out_dir, exp, flat, cfg, None, False)
+        pipe = DemoPipeline(
+            cfg, None, _assets(), max_people=2, use_camcalib=False,
+            bundle=out_dir,
+        )
+        assert pipe.model is None and pipe.variables is None
+        img = np.random.RandomState(0).randint(0, 255, (320, 280, 3), np.uint8)
+        result = pipe.run_image(img, "t.png")
+        assert result["n_people"] >= 1
+        assert result["verts"].shape[-2:] == (6890, 3)
+        assert np.isfinite(result["verts"]).all()
+
+        # mismatched flags fail loudly, not silently wrong
+        with pytest.raises(ValueError, match="camcalib"):
+            DemoPipeline(cfg, None, _assets(), use_camcalib=True,
+                         bundle=out_dir)
+
     def test_loader_needs_no_model_code(self, setup, tmp_path):
         """The bundle is consumed by a fresh process importing ONLY
         jax+numpy+the loader module — no flax model construction."""

@@ -23,6 +23,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no_render", action="store_true")
     p.add_argument("--save_obj", action="store_true")
     p.add_argument("--no_camcalib", action="store_true")
+    p.add_argument("--bundle", default=None,
+                   help="whmr-export bundle dir: run the frozen AOT graph "
+                        "instead of building the model (no --checkpoint "
+                        "needed; bundle batch must equal --max_people or be "
+                        "polymorphic)")
     p.add_argument("--cfg_file", default=None,
                    help="reference-style YAML config (e.g. configs/vit-l.yaml)")
     p.add_argument("--misc", nargs="*", default=[],
@@ -50,6 +55,14 @@ def build_pipeline(args):
     cfg = config_from_args(args)
     assets = get_assets(args.data_dir)
     consts = body_consts_from_assets(assets)
+    if getattr(args, "bundle", None):
+        # frozen AOT artifact: no model build, no checkpoint restore
+        return DemoPipeline(
+            cfg, None, assets,
+            max_people=args.max_people,
+            use_camcalib=not args.no_camcalib,
+            bundle=args.bundle,
+        )
     model = WHMR(cfg)
     example = make_example_inputs(cfg, 2)
     state = create_train_state(

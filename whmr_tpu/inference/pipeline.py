@@ -172,7 +172,11 @@ class DemoPipeline:
         detector=None,
         use_camcalib: bool = True,
         dtype=None,
+        bundle: str = None,
     ):
+        """bundle: path to a whmr-export directory — the demo then runs the
+        frozen AOT graph (ExportedWHMR) instead of building the live model;
+        `variables` may be None in that mode (weights live in the bundle)."""
         import jax
         import jax.numpy as jnp
 
@@ -185,6 +189,9 @@ class DemoPipeline:
         self.detector = detector or FullImageDetector()
         self.use_camcalib = use_camcalib
         self.consts = body_consts_from_assets(assets)
+        if bundle is not None:
+            self._init_from_bundle(bundle)
+            return
         self.model = WHMR(cfg, dtype=dtype or jnp.float32)
         self.variables = variables
 
@@ -223,6 +230,38 @@ class DemoPipeline:
             }
 
         self._fwd = jax.jit(fwd)
+
+    def _init_from_bundle(self, bundle: str) -> None:
+        """Serve the demo from a whmr-export bundle: the frozen AOT graph
+        takes the same uint8 crop batch + optional full frame and returns
+        the same output dict as the live `fwd` above (export.OUTPUT_KEYS),
+        so dispatch_image/collect need no changes."""
+        from whmr_tpu.inference.export import load_exported
+
+        served = load_exported(bundle)
+        if served.camcalib != self.use_camcalib:
+            raise ValueError(
+                f"bundle was exported with camcalib={served.camcalib} but "
+                f"the pipeline wants use_camcalib={self.use_camcalib}; "
+                "re-export or pass the matching flag"
+            )
+        if served.batch_size is not None and served.batch_size != self.max_people:
+            raise ValueError(
+                f"bundle has fixed batch {served.batch_size} but "
+                f"max_people={self.max_people}; re-export with "
+                f"--batch_size {self.max_people} (or 0 for polymorphic)"
+            )
+        self.model = None
+        self.variables = None
+
+        def fwd(_variables, _consts, batch, full_u8):
+            return served(
+                batch["x"], batch["center"], batch["scale"],
+                batch["bbox_height"], batch["orig_shape"], batch["bbox_info"],
+                full_u8=full_u8,
+            )
+
+        self._fwd = fwd
 
     def dispatch_image(self, image: np.ndarray, name: str = ""):
         """Async half of run_image: detect + crop on host, dispatch the

@@ -98,6 +98,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no_camcalib", action="store_true")
     p.add_argument("--no_track", action="store_true",
                    help="disable cross-frame tracking/smoothing")
+    p.add_argument("--bundle", default=None,
+                   help="whmr-export bundle dir (frozen AOT graph; see "
+                        "whmr-demo --bundle)")
     p.add_argument("--cfg_file", default=None,
                    help="reference-style YAML config (e.g. configs/vit-l.yaml)")
     p.add_argument("--misc", nargs="*", default=[])
