@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import queue
 import threading
-from typing import Callable, Dict, Iterator, Optional, Sequence
+from typing import Dict, Iterator
 
 import numpy as np
 
