@@ -49,6 +49,15 @@ def wait_for_tpu(deadline_s: float = 900.0, probe_timeout_s: float = 150.0) -> N
             pass
     if plats.split(",")[0].strip() != "axon":
         return
+    try:
+        # this process already holds a live backend client (e.g. the driver
+        # re-enters entry() after a compile-check): probe subprocesses would
+        # queue behind OUR OWN grant ("one TPU client at a time") and burn
+        # the whole deadline against a healthy pool — skip probing entirely
+        if jmod is not None and jmod._src.xla_bridge._backends:
+            return
+    except Exception:
+        pass
     deadline_s = float(os.environ.get("WHMR_BENCH_TPU_WAIT", deadline_s))
     # The child tries to time ITSELF out (SIGALRM -> exception -> clean
     # interpreter exit, releasing any in-flight claim). Caveat: if backend

@@ -68,6 +68,31 @@ class TestWaitForTpu:
         bench.wait_for_tpu(deadline_s=5.0)
         assert not calls
 
+    def test_live_in_process_client_skips_probe(self, monkeypatch):
+        """A process that already holds a live backend client must NOT
+        probe: the subprocess probes would queue behind its own grant
+        (one TPU client at a time) and spin until the deadline."""
+        import types
+
+        monkeypatch.setenv("JAX_PLATFORMS", "axon")
+        monkeypatch.setitem(
+            sys.modules, "jax",
+            types.SimpleNamespace(
+                config=types.SimpleNamespace(jax_platforms="axon"),
+                _src=types.SimpleNamespace(
+                    xla_bridge=types.SimpleNamespace(
+                        _backends={"axon": object()}
+                    )
+                ),
+            ),
+        )
+        calls = []
+        monkeypatch.setattr(
+            subprocess, "Popen", lambda *a, **k: calls.append(a)
+        )
+        bench.wait_for_tpu(deadline_s=5.0)
+        assert not calls
+
     def test_returns_on_probe_ok(self, monkeypatch):
         monkeypatch.setenv("JAX_PLATFORMS", "axon,cpu")
         self._fake_axon_jax(monkeypatch)

@@ -161,6 +161,28 @@ class TestDetectors:
         with pytest.raises(ValueError):
             build_detector("iuv")  # needs the pipeline
 
+    def test_detector_kind_resolution(self):
+        """Bundle mode must never select the IUV detector (it needs the
+        live model's fg-mask pass), and --checkpoint alongside --bundle is
+        rejected in build_pipeline; detector_kind covers the default and
+        the explicit-iuv error."""
+        import argparse
+
+        from whmr_tpu.inference.demo_cli import detector_kind
+
+        def ns(**kw):
+            base = dict(detector=None, checkpoint=None, bundle=None)
+            base.update(kw)
+            return argparse.Namespace(**base)
+
+        assert detector_kind(ns()) == "full"
+        assert detector_kind(ns(checkpoint="ck")) == "iuv"
+        # a bundle ignores the checkpoint default and stays on 'full'
+        assert detector_kind(ns(checkpoint="ck", bundle="b")) == "full"
+        assert detector_kind(ns(bundle="b", detector="contour")) == "contour"
+        with pytest.raises(SystemExit, match="live model"):
+            detector_kind(ns(bundle="b", detector="iuv"))
+
 
 class TestMultiPersonDemo:
     def test_three_person_folder_run(self, pipeline, tmp_path):

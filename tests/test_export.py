@@ -190,6 +190,12 @@ class TestExport:
         with pytest.raises(ValueError, match="camcalib"):
             DemoPipeline(cfg, None, _assets(), use_camcalib=True,
                          bundle=out_dir)
+        import dataclasses
+
+        bad_cfg = dataclasses.replace(cfg, cam_img_size=(512, 512))
+        with pytest.raises(ValueError, match="cam_img_size"):
+            DemoPipeline(bad_cfg, None, _assets(), use_camcalib=False,
+                         bundle=out_dir)
 
     def test_loader_needs_no_model_code(self, setup, tmp_path):
         """The bundle is consumed by a fresh process importing ONLY

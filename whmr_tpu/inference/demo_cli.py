@@ -39,30 +39,38 @@ def build_pipeline(args):
     """Model + DemoPipeline construction shared by whmr-demo and whmr-video.
 
     `args` needs: misc, data_dir, checkpoint, max_people, no_camcalib."""
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-
     from whmr_tpu.config import config_from_args
     from whmr_tpu.data.assets import get_assets
     from whmr_tpu.inference.pipeline import DemoPipeline
-    from whmr_tpu.models.regressor import body_consts_from_assets
-    from whmr_tpu.models.whmr import WHMR
-    from whmr_tpu.training.train_step import create_train_state
-    from whmr_tpu.utils.checkpoint import CheckpointManager
-    from whmr_tpu.utils.testing import make_example_inputs
 
     cfg = config_from_args(args)
     assets = get_assets(args.data_dir)
-    consts = body_consts_from_assets(assets)
     if getattr(args, "bundle", None):
-        # frozen AOT artifact: no model build, no checkpoint restore
+        # frozen AOT artifact: no model build, no checkpoint restore —
+        # and none of the model-stack imports below (lean serving path)
+        if args.checkpoint:
+            raise SystemExit(
+                "--bundle already carries its weights; drop --checkpoint "
+                "(or drop --bundle to run the live model)"
+            )
         return DemoPipeline(
             cfg, None, assets,
             max_people=args.max_people,
             use_camcalib=not args.no_camcalib,
             bundle=args.bundle,
         )
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from whmr_tpu.models.regressor import body_consts_from_assets
+    from whmr_tpu.models.whmr import WHMR
+    from whmr_tpu.training.train_step import create_train_state
+    from whmr_tpu.utils.checkpoint import CheckpointManager
+    from whmr_tpu.utils.testing import make_example_inputs
+
+    consts = body_consts_from_assets(assets)
     model = WHMR(cfg)
     example = make_example_inputs(cfg, 2)
     state = create_train_state(
@@ -93,6 +101,24 @@ def build_pipeline(args):
     )
 
 
+def detector_kind(args) -> str:
+    """Resolve the detector choice (shared by whmr-demo and whmr-video).
+
+    The IUV-proposal detector runs the live model's dense-IUV head as a
+    separate jitted pass, which a frozen bundle cannot serve — so bundle
+    mode defaults to `full` and rejects an explicit `--detector iuv`."""
+    bundle = getattr(args, "bundle", None)
+    kind = args.detector or (
+        "iuv" if (args.checkpoint and not bundle) else "full"
+    )
+    if bundle and kind == "iuv":
+        raise SystemExit(
+            "--detector iuv needs the live model (a separate dense-IUV "
+            "fg-mask pass); with --bundle use contour, full, or file"
+        )
+    return kind
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
 
@@ -102,8 +128,8 @@ def main(argv=None):
 
     from whmr_tpu.inference.detector import build_detector
 
+    kind = detector_kind(args)
     pipeline = build_pipeline(args)
-    kind = args.detector or ("iuv" if args.checkpoint else "full")
     pipeline.detector = build_detector(kind, args.bbox_file, pipeline=pipeline)
     stats = pipeline.run_folder(
         args.image_folder, args.output_folder,

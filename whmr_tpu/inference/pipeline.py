@@ -180,18 +180,23 @@ class DemoPipeline:
         import jax
         import jax.numpy as jnp
 
-        from whmr_tpu.models.regressor import body_consts_from_assets
-        from whmr_tpu.models.whmr import WHMR
-
         self.cfg = cfg
         self.assets = assets
         self.max_people = max_people
         self.detector = detector or FullImageDetector()
         self.use_camcalib = use_camcalib
-        self.consts = body_consts_from_assets(assets)
         if bundle is not None:
+            # frozen graph ignores consts (weights + consts live in the
+            # bundle); skip the model-stack imports — bundle serving needs
+            # only jax + numpy (inference/export.py contract)
+            self.consts = None
             self._init_from_bundle(bundle)
             return
+
+        from whmr_tpu.models.regressor import body_consts_from_assets
+        from whmr_tpu.models.whmr import WHMR
+
+        self.consts = body_consts_from_assets(assets)
         self.model = WHMR(cfg, dtype=dtype or jnp.float32)
         self.variables = variables
 
@@ -251,6 +256,25 @@ class DemoPipeline:
                 f"max_people={self.max_people}; re-export with "
                 f"--batch_size {self.max_people} (or 0 for polymorphic)"
             )
+        if served.batch_size is None and served.camcalib and self.max_people < 2:
+            # polymorphic camcalib exports constrain the symbolic batch to
+            # B >= 2 (export.batch_arg_structs) so the broadcast stays
+            # shape-polymorphic; fail here, not in the exported graph
+            raise ValueError(
+                "camcalib-polymorphic bundles need max_people >= 2 "
+                f"(got {self.max_people})"
+            )
+        for key, want in (
+            ("crop_hw", tuple(self.cfg.crop_hw)),
+            ("cam_img_size", tuple(self.cfg.cam_img_size)),
+        ):
+            have = tuple(served.meta.get(key, want))
+            if have != want:
+                raise ValueError(
+                    f"bundle was exported with {key}={list(have)} but the "
+                    f"pipeline config has {list(want)}; pass the --cfg_file "
+                    "the bundle was exported with"
+                )
         self.model = None
         self.variables = None
 

@@ -115,14 +115,14 @@ def main(argv=None):
 
     import shutil
 
-    from whmr_tpu.inference.demo_cli import build_pipeline
+    from whmr_tpu.inference.demo_cli import build_pipeline, detector_kind
     from whmr_tpu.inference.detector import build_detector
     from whmr_tpu.inference.video import images_to_video, video_to_images
 
     import cv2
 
+    kind = detector_kind(args)
     pipeline = build_pipeline(args)
-    kind = args.detector or ("iuv" if args.checkpoint else "full")
     base = build_detector(kind, args.bbox_file, pipeline=pipeline)
     src_fps = args.fps
     if src_fps is None:
