@@ -210,3 +210,59 @@ class TestHMRBaseline:
         ] + TestEvalCLI._tiny_misc())
         captured = capsys.readouterr().out
         assert "Final Results" in captured
+
+
+class TestBundleEval:
+    @staticmethod
+    def _parse_metrics(text):
+        import re
+
+        m = re.search(
+            r"PVE: ([\d.]+)\nMPJPE: ([\d.]+)\nPA-MPJPE \(Reconstruction "
+            r"Error\): ([\d.]+)", text,
+        )
+        assert m, text
+        return tuple(float(g) for g in m.groups())
+
+    def test_bundle_eval_matches_live(self, eval_setup, tmp_path, capsys):
+        """whmr-export --eval -> whmr-eval --bundle scores the frozen
+        artifact; metrics match the live-checkpoint run (same weights,
+        same platform). batch_size 3 over 4 samples exercises the
+        ragged-last-batch padding against the bundle's fixed shape."""
+        from whmr_tpu.inference import eval_cli, export_cli
+
+        misc = TestEvalCLI._tiny_misc()
+        common = [
+            "--dataset_npz", eval_setup["npz"],
+            "--img_dir", eval_setup["img_dir"],
+            "--batch_size", "3", "--allow_identity_cam",
+        ] + misc
+
+        eval_cli.main(["--checkpoint", eval_setup["ckpt"]] + common)
+        live = self._parse_metrics(capsys.readouterr().out)
+
+        bundle_dir = str(tmp_path / "eval_bundle")
+        export_cli.main([
+            "--checkpoint", eval_setup["ckpt"], "--output", bundle_dir,
+            "--eval", "--batch_size", "3", "--platforms", "cpu", "--check",
+        ] + misc)
+        out = capsys.readouterr().out
+        assert "variant=eval" in out and "outputs finite: True" in out
+
+        eval_cli.main(["--bundle", bundle_dir] + common)
+        frozen = self._parse_metrics(capsys.readouterr().out)
+        np.testing.assert_allclose(frozen, live, rtol=1e-4, atol=1e-3)
+
+    def test_bundle_flag_guards(self, eval_setup, tmp_path):
+        from whmr_tpu.inference import eval_cli
+
+        base = [
+            "--dataset_npz", eval_setup["npz"],
+            "--img_dir", eval_setup["img_dir"],
+        ] + TestEvalCLI._tiny_misc()
+        with pytest.raises(SystemExit, match="exactly one"):
+            eval_cli.main(base)
+        with pytest.raises(SystemExit, match="exactly one"):
+            eval_cli.main(
+                ["--checkpoint", eval_setup["ckpt"], "--bundle", "b"] + base
+            )

@@ -236,3 +236,108 @@ print("SUBPROCESS_OK")
             env=env, timeout=600,
         )
         assert "SUBPROCESS_OK" in res.stdout, res.stderr[-2000:]
+
+
+class TestEvalExport:
+    """Eval-variant bundles (whmr-export --eval): the metric-protocol
+    graph — GT cam_rotmat input, fp32 crops, EVAL_OUTPUT_KEYS out —
+    consumed by `whmr-eval --bundle`."""
+
+    def _eval_args(self, cfg, inputs, b=2, seed=1):
+        h, w = cfg.crop_hw
+        rng = np.random.RandomState(seed)
+        # a mildly tilted GT camera so the world-frame branch is exercised
+        th = 0.2
+        rot = np.array(
+            [[1, 0, 0],
+             [0, np.cos(th), -np.sin(th)],
+             [0, np.sin(th), np.cos(th)]], np.float32,
+        )
+        return dict(
+            img=rng.randn(b, h, w, 3).astype(np.float32),
+            center=np.asarray(inputs["center"]),
+            scale=np.asarray(inputs["scale"]),
+            bbox_height=np.asarray(inputs["bbox_height"]),
+            orig_shape=np.asarray(inputs["orig_shape"]),
+            bbox_info=np.asarray(inputs["bbox_info"]),
+            cam_rotmat=np.tile(rot, (b, 1, 1)),
+        )
+
+    def test_eval_round_trip_matches_live(self, setup, tmp_path):
+        """save -> load -> call_eval reproduces the live eval-protocol
+        forward (model.apply with GT cam_rotmat, evaluate.py:109-122)."""
+        from whmr_tpu.inference.export import EVAL_OUTPUT_KEYS
+
+        cfg, model, variables, consts, inputs = setup
+        exp, flat = export_serving(
+            cfg, model, variables, consts, 2, platforms=("cpu",),
+            variant="eval",
+        )
+        out_dir = str(tmp_path / "bundle_eval")
+        save_exported(out_dir, exp, flat, cfg, 2, False, variant="eval")
+        served = load_exported(out_dir)
+        assert served.variant == "eval"
+        assert served.meta["output_keys"] == list(EVAL_OUTPUT_KEYS)
+
+        args = self._eval_args(cfg, inputs)
+        got = served.call_eval(**args)
+        assert set(got) == set(EVAL_OUTPUT_KEYS)
+
+        live = jax.jit(
+            lambda v, c, img, cr, *a: model.apply(
+                v, c, img, *a, train=False, cam_rotmat=cr
+            )
+        )(variables, consts, args["img"], args["cam_rotmat"],
+          args["center"], args["scale"], args["bbox_height"],
+          args["orig_shape"], args["bbox_info"])
+        np.testing.assert_allclose(
+            np.asarray(got["verts_world"]),
+            np.asarray(live["global_output"]["global_verts"]),
+            rtol=1e-5, atol=1e-5,
+        )
+        last = live["smpl_out"][-1]
+        for bundle_key, live_key in (
+            ("verts", "verts"), ("pose", "pose"),
+            ("shape", "pred_shape"), ("camera", "pred_cam"),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(got[bundle_key]), np.asarray(last[live_key]),
+                rtol=1e-5, atol=1e-5,
+            )
+
+        # the demo serving call must refuse an eval bundle (and the demo
+        # pipeline must too) — variant mixups fail loudly
+        with pytest.raises(ValueError, match="variant"):
+            served(np.zeros((2, *cfg.crop_hw, 3), np.uint8),
+                   args["center"], args["scale"], args["bbox_height"],
+                   args["orig_shape"], args["bbox_info"])
+        from whmr_tpu.data.assets import synthetic_smpl_assets as _assets
+        from whmr_tpu.inference.pipeline import DemoPipeline
+
+        with pytest.raises(ValueError, match="variant"):
+            DemoPipeline(cfg, None, _assets(), use_camcalib=False,
+                         bundle=out_dir)
+
+    def test_eval_variant_guards(self, setup):
+        """camcalib is a demo-graph branch; the eval protocol replaces it
+        with the GT camera (eval.py:157-163)."""
+        cfg, model, variables, consts, _ = setup
+        with pytest.raises(ValueError, match="camcalib"):
+            export_serving(cfg, model, variables, consts, 2,
+                           camcalib=True, variant="eval")
+        with pytest.raises(ValueError, match="variant"):
+            export_serving(cfg, model, variables, consts, 2,
+                           variant="nonsense")
+
+    def test_call_eval_rejects_demo_bundle(self, setup, tmp_path):
+        cfg, model, variables, consts, inputs = setup
+        exp, flat = export_serving(
+            cfg, model, variables, consts, 2, camcalib=False,
+            platforms=("cpu",),
+        )
+        out_dir = str(tmp_path / "bundle_demo2")
+        save_exported(out_dir, exp, flat, cfg, 2, False)
+        served = load_exported(out_dir)
+        assert served.variant == "demo"  # format-v1 default
+        with pytest.raises(ValueError, match="whmr-export --eval"):
+            served.call_eval(**self._eval_args(cfg, inputs))

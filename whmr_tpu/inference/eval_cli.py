@@ -12,6 +12,10 @@ Protocol variants carried over from the reference:
 - labels without `cam_rotmat` abort unless `--allow_identity_cam`: the
   reference eval REQUIRES the GT camera rotation (eval.py:157-163), and a
   silent identity fallback produces quietly-wrong world-frame metrics.
+- `--bundle dir/` (instead of `--checkpoint`) scores an eval-variant
+  export (`whmr-export --eval`): the frozen StableHLO graph inlines into
+  the jitted metric step, so the metrics gate the exact deployed
+  artifact (net-new — the reference can only evaluate a live model).
 """
 
 from __future__ import annotations
@@ -25,7 +29,11 @@ J17_DATASETS = ("mpi-inf-3dhp",)
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="Evaluate a WHMR checkpoint")
-    p.add_argument("--checkpoint", required=True, help="orbax checkpoint dir")
+    p.add_argument("--checkpoint", default=None, help="orbax checkpoint dir")
+    p.add_argument("--bundle", default=None,
+                   help="eval-variant export bundle (whmr-export --eval): "
+                        "score the exact frozen serving artifact instead "
+                        "of a live checkpoint")
     p.add_argument("--dataset_npz", required=True, help="eval label npz")
     p.add_argument("--img_dir", required=True)
     p.add_argument("--dataset", default="custom",
@@ -145,6 +153,65 @@ def load_model_state(args, cfg):
     return model, variables, consts, assets
 
 
+def load_bundle_state(args, cfg):
+    """Load an eval-variant export bundle for the metric protocols.
+
+    Returns (model=None, variables=bundle weight leaves, consts, assets,
+    forward_override, served). The weights ride the step's `variables`
+    ARGUMENT (never a closure — the axon remote-compile 413 lesson) and
+    the exported StableHLO graph inlines into the jitted metric step, so
+    the scored forward is bit-identical to the deployed artifact."""
+    from whmr_tpu.data.assets import get_assets
+    from whmr_tpu.inference.export import load_exported
+    from whmr_tpu.models.regressor import body_consts_from_assets
+
+    served = load_exported(args.bundle)
+    if served.variant != "eval":
+        raise SystemExit(
+            f"{args.bundle} is a {served.variant!r}-variant bundle; "
+            "metric evaluation needs the eval graph (GT cam_rotmat input, "
+            "world-frame outputs) — re-export with whmr-export --eval"
+        )
+    if getattr(args, "regressor", "pymaf_net") != "pymaf_net":
+        raise SystemExit("--bundle carries the WHMR (pymaf_net) graph; "
+                         "--regressor hmr needs a live --checkpoint")
+    if args.eval_parts or args.coco_ap:
+        raise SystemExit(
+            "--eval_parts/--coco_ap need forward outputs (crop verts, "
+            "full-image keypoints) the eval bundle does not export; use "
+            "a live --checkpoint"
+        )
+    if args.data_parallel:
+        raise SystemExit(
+            "--data_parallel shards the live jitted step; the exported "
+            "graph pins its own shapes — run the bundle single-device"
+        )
+    have = tuple(served.meta.get("crop_hw", cfg.crop_hw))
+    if have != tuple(cfg.crop_hw):
+        raise SystemExit(
+            f"bundle was exported with crop_hw={list(have)} but the eval "
+            f"config has {list(cfg.crop_hw)}; pass the --cfg_file the "
+            "bundle was exported with"
+        )
+    assets = get_assets(args.data_dir)
+    consts = body_consts_from_assets(assets)
+
+    def forward_override(variables, consts, batch):
+        out = served.exported.call(
+            variables, batch["img"], batch["center"], batch["scale"],
+            batch["bbox_height"], batch["orig_shape"], batch["bbox_info"],
+            batch["cam_rotmat"],
+        )
+        last_params = {
+            "pose": out["pose"],
+            "pred_shape": out["shape"],
+            "pred_cam": out["camera"],
+        }
+        return out["verts_world"], last_params
+
+    return None, served.weights, consts, assets, forward_override, served
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
 
@@ -167,7 +234,18 @@ def main(argv=None):
         raise SystemExit(
             "--data_parallel is not supported with --eval_parts/--coco_ap"
         )
-    model, variables, consts, assets = load_model_state(args, cfg)
+    if bool(args.bundle) == bool(args.checkpoint):
+        raise SystemExit(
+            "pass exactly one of --checkpoint (live model) or --bundle "
+            "(frozen eval-variant export)"
+        )
+    forward_override = None
+    if args.bundle:
+        model, variables, consts, assets, forward_override, served = (
+            load_bundle_state(args, cfg)
+        )
+    else:
+        model, variables, consts, assets = load_model_state(args, cfg)
 
     ds = NpzDataset(cfg, args.dataset_npz, args.img_dir, is_train=False)
     loader = BatchLoader(ds, args.batch_size, shuffle=False, drop_last=False,
@@ -245,6 +323,8 @@ def main(argv=None):
         cfg, model, variables, consts, batches(), log_every=args.log_freq,
         gendered_smpl=gendered_smpl, joint_mapper=joint_mapper,
         result_file=args.result_file, regressor=args.regressor, mesh=mesh,
+        forward_override=forward_override,
+        fixed_batch=served.batch_size if args.bundle else None,
     )
     print(
         f"*** Final Results ***\nPVE: {result['pve']:.2f}\n"

@@ -59,6 +59,7 @@ def make_eval_step(
     save_arrays: bool = False,
     regressor: str = "pymaf_net",
     mesh=None,
+    forward_override=None,
 ):
     """Jitted eval step: batch -> ((sum_mpjpe, sum_pa, sum_pve, n), extras).
 
@@ -88,7 +89,16 @@ def make_eval_step(
     mapper = H36M_TO_J17 if joint_mapper == "j17" else H36M_TO_J14
 
     def step(variables, consts: BodyConsts, batch):
-        if regressor == "hmr":
+        if forward_override is not None:
+            # pluggable prediction path (e.g. an exported eval-variant
+            # bundle's StableHLO graph, whmr-eval --bundle): returns the
+            # same (world verts, final-stage params) contract as the live
+            # pymaf forward below. `variables` carries whatever the
+            # override needs (bundle weights) as a jit ARGUMENT.
+            pred_verts, last_params = forward_override(
+                variables, consts, batch
+            )
+        elif regressor == "hmr":
             # HMR baseline (reference eval.py:174-176): camera-frame mesh
             # straight from (rotmat, betas).
             rotmat, betas, _cam = model.apply(
@@ -191,6 +201,8 @@ def run_evaluation(
     result_file: str = None,
     regressor: str = "pymaf_net",
     mesh=None,
+    forward_override=None,
+    fixed_batch: int = None,
 ) -> Dict[str, float]:
     """Drive the eval loop over an iterable of device-ready batches.
 
@@ -201,10 +213,13 @@ def run_evaluation(
     zero-padded (valid=0) to the first batch's size so every step keeps
     one fixed sharded shape; padded rows contribute nothing to the sums
     and are trimmed from --result_file arrays.
+    fixed_batch: pad every batch to exactly this size (a fixed-batch
+    exported bundle's traced shape); same valid=0 masking and dump trim.
     """
     step = make_eval_step(
         cfg, model, gendered_smpl=gendered_smpl, joint_mapper=joint_mapper,
         save_arrays=result_file is not None, regressor=regressor, mesh=mesh,
+        forward_override=forward_override,
     )
     pad_to = None
     if mesh is not None:
@@ -219,17 +234,20 @@ def run_evaluation(
 
     def place(batch):
         nonlocal pad_to
-        if mesh is None:
-            return batch, batch[next(iter(batch))].shape[0]
         n = batch[next(iter(batch))].shape[0]
+        if mesh is None and fixed_batch is None:
+            return batch, n
         if pad_to is None:
-            ndata = mesh.shape["data"]
-            pad_to = max(n, ndata) if n % ndata == 0 else n + (-n) % ndata
+            if fixed_batch is not None:
+                pad_to = fixed_batch
+            else:
+                ndata = mesh.shape["data"]
+                pad_to = max(n, ndata) if n % ndata == 0 else n + (-n) % ndata
         if n > pad_to:
             raise ValueError(
                 f"batch of {n} exceeds the fixed eval shape {pad_to} set by "
                 "the first batch; feed equal-size batches (last may be "
-                "smaller) for data-parallel eval"
+                "smaller)"
             )
         pad = pad_to - n
         if pad:
@@ -244,6 +262,8 @@ def run_evaluation(
             # implies it, but masking must not silently depend on the
             # padding fill value.)
             batch["valid"] = batch["valid"].at[n:].set(0)
+        if mesh is None:
+            return batch, n
         return (
             {k: jax.device_put(v, data_sharding) for k, v in batch.items()},
             n,

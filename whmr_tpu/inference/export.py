@@ -42,6 +42,12 @@ OUTPUT_KEYS = (
     "render_rotmat", "shape", "global_pose", "local_pose",
 )
 
+# The eval-variant output surface: exactly what the metric protocol
+# consumes (inference/evaluate.py make_eval_step — world verts for
+# MPJPE/PA/PVE, final-stage pose/shape/cam for the --result_file dump;
+# reference eval.py:155-228, 312-319).
+EVAL_OUTPUT_KEYS = ("verts_world", "verts", "pose", "shape", "camera")
+
 
 def make_serving_fn(cfg: WHMRConfig, model, treedef, camcalib: bool):
     """Serving graph: uint8 images in (4x fewer transfer bytes than fp32,
@@ -79,6 +85,56 @@ def make_serving_fn(cfg: WHMRConfig, model, treedef, camcalib: bool):
         }
 
     return serve
+
+
+def make_eval_serving_fn(cfg: WHMRConfig, model, treedef):
+    """Eval-variant serving graph: the benchmark-protocol forward.
+
+    Differs from the demo graph in exactly the ways the reference's eval
+    protocol differs from its demo (eval.py:155-228 vs tester.py:100-104):
+    the GT camera rotation is an INPUT (no CamCalib branch), images arrive
+    already normalized fp32 (the eval loader's output), and the outputs
+    are the metric-protocol quantities (EVAL_OUTPUT_KEYS) instead of the
+    visualization dict. Lets `whmr-eval --bundle` score the exact frozen
+    artifact that will be deployed."""
+
+    def serve(flat, img, center, scale, bbox_height, orig_shape, bbox_info,
+              cam_rotmat):
+        variables, consts = jax.tree.unflatten(treedef, flat)
+        preds = model.apply(
+            variables, consts, img, center, scale, bbox_height, orig_shape,
+            bbox_info, train=False, cam_rotmat=cam_rotmat,
+        )
+        last = preds["smpl_out"][-1]
+        return {
+            "verts_world": preds["global_output"]["global_verts"],
+            "verts": last["verts"],
+            "pose": last["pose"],
+            "shape": last["pred_shape"],
+            "camera": last["pred_cam"],
+        }
+
+    return serve
+
+
+def eval_arg_structs(
+    cfg: WHMRConfig, batch_size: Optional[int]
+) -> Tuple[jax.ShapeDtypeStruct, ...]:
+    """ShapeDtypeStructs of the eval-variant batch arguments (after the
+    flat weights): normalized fp32 crops + the GT camera rotation."""
+    if not batch_size:
+        (batch_size,) = jax.export.symbolic_shape("B")
+    h, w = cfg.crop_hw
+    f32 = jnp.float32
+    return (
+        jax.ShapeDtypeStruct((batch_size, h, w, 3), f32),   # img (normalized)
+        jax.ShapeDtypeStruct((batch_size, 2), f32),         # center
+        jax.ShapeDtypeStruct((batch_size,), f32),           # scale
+        jax.ShapeDtypeStruct((batch_size,), f32),           # bbox_height
+        jax.ShapeDtypeStruct((batch_size, 2), f32),         # orig_shape
+        jax.ShapeDtypeStruct((batch_size, 5), f32),         # bbox_info
+        jax.ShapeDtypeStruct((batch_size, 3, 3), f32),      # cam_rotmat (GT)
+    )
 
 
 def batch_arg_structs(
@@ -120,17 +176,33 @@ def export_serving(
     batch_size: Optional[int],
     camcalib: bool = False,
     platforms: Tuple[str, ...] = ("cpu", "tpu"),
+    variant: str = "demo",
 ):
-    """Lower + export the serving forward. Returns (Exported, flat leaves)."""
+    """Lower + export the serving forward. Returns (Exported, flat leaves).
+
+    variant: "demo" (uint8 crops + optional CamCalib frame -> vis dict) or
+    "eval" (normalized fp32 crops + GT cam_rotmat -> metric-protocol dict).
+    """
+    if variant not in ("demo", "eval"):
+        raise ValueError(f"unknown export variant {variant!r}")
+    if variant == "eval" and camcalib:
+        raise ValueError(
+            "camcalib is a demo-graph branch; the eval protocol feeds the "
+            "GT cam_rotmat instead (eval.py:157-163)"
+        )
     flat, treedef = jax.tree.flatten((variables, consts))
-    serve = make_serving_fn(cfg, model, treedef, camcalib)
     flat_structs = [
         jax.ShapeDtypeStruct(
             np.shape(a), getattr(a, "dtype", None) or np.asarray(a).dtype
         )
         for a in flat
     ]
-    args = batch_arg_structs(cfg, batch_size, camcalib)
+    if variant == "eval":
+        serve = make_eval_serving_fn(cfg, model, treedef)
+        args = eval_arg_structs(cfg, batch_size)
+    else:
+        serve = make_serving_fn(cfg, model, treedef, camcalib)
+        args = batch_arg_structs(cfg, batch_size, camcalib)
     exp = jax.export.export(jax.jit(serve), platforms=list(platforms))(
         flat_structs, *args
     )
@@ -144,6 +216,7 @@ def save_exported(
     cfg: WHMRConfig,
     batch_size: Optional[int],
     camcalib: bool,
+    variant: str = "demo",
 ) -> None:
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, EXPORT_GRAPH), "wb") as f:
@@ -165,11 +238,14 @@ def save_exported(
         "platforms": list(exp.platforms),
         "batch_size": batch_size or 0,  # 0 = batch-polymorphic
         "camcalib": camcalib,
+        "variant": variant,
         "crop_hw": list(cfg.crop_hw),
         "cam_img_size": list(cfg.cam_img_size),
         "n_weights": len(flat),
         "weight_dtypes": dtypes,
-        "output_keys": list(OUTPUT_KEYS),
+        "output_keys": list(
+            EVAL_OUTPUT_KEYS if variant == "eval" else OUTPUT_KEYS
+        ),
         "img_norm_mean": list(IMG_NORM_MEAN),
         "img_norm_std": list(IMG_NORM_STD),
     }
@@ -197,6 +273,8 @@ class ExportedWHMR:
         ]
         self.batch_size = self.meta["batch_size"] or None  # None = any
         self.camcalib = self.meta["camcalib"]
+        # absent in format_version-1 bundles, which are all demo-variant
+        self.variant = self.meta.get("variant", "demo")
         # jit the exported callable ONCE: repeated serving calls then take
         # the compiled-dispatch fast path instead of re-tracing exp.call
         self._call = jax.jit(self.exported.call)
@@ -211,6 +289,11 @@ class ExportedWHMR:
         bbox_info: np.ndarray,
         full_u8: Optional[np.ndarray] = None,
     ) -> Dict[str, jnp.ndarray]:
+        if self.variant != "demo":
+            raise ValueError(
+                f"this is a {self.variant!r}-variant bundle; use call_eval "
+                "(or whmr-eval --bundle), not the demo serving call"
+            )
         args = [self.weights, x_u8, center, scale, bbox_height, orig_shape,
                 bbox_info]
         if self.camcalib:
@@ -221,6 +304,23 @@ class ExportedWHMR:
                 )
             args.append(full_u8)
         return self._call(*args)
+
+    def call_eval(self, img, center, scale, bbox_height, orig_shape,
+                  bbox_info, cam_rotmat) -> Dict[str, jnp.ndarray]:
+        """Eval-variant forward (EVAL_OUTPUT_KEYS). `img` is the loader's
+        normalized fp32 crop batch; `cam_rotmat` the GT camera rotation.
+
+        Traceable: called inside a jitted metric step it inlines the
+        exported StableHLO into the surrounding graph, so pass the weights
+        as that jit's ARGUMENT (never close over them — the axon
+        remote-compile 413 lesson)."""
+        if self.variant != "eval":
+            raise ValueError(
+                f"this is a {self.variant!r}-variant bundle; eval bundles "
+                "are produced by whmr-export --eval"
+            )
+        return self._call(self.weights, img, center, scale, bbox_height,
+                          orig_shape, bbox_info, cam_rotmat)
 
 
 def load_exported(path: str) -> ExportedWHMR:

@@ -25,6 +25,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--camcalib", action="store_true",
                    help="include the CamCalib full-frame branch "
                         "(demo graph, tester.py:100-104)")
+    p.add_argument("--eval", action="store_true", dest="eval_variant",
+                   help="export the EVAL graph instead of the demo one: "
+                        "GT cam_rotmat input, normalized fp32 crops, "
+                        "metric-protocol outputs — consumed by "
+                        "whmr-eval --bundle (reference protocol "
+                        "eval.py:155-228)")
     p.add_argument("--platforms", default="cpu,tpu",
                    help="comma-separated lowering platforms")
     p.add_argument("--bf16", action="store_true",
@@ -62,12 +68,20 @@ def main(argv=None):
     if args.bf16:
         model = WHMR(cfg, dtype=jnp.bfloat16)
 
+    variant = "eval" if args.eval_variant else "demo"
+    if args.eval_variant and args.camcalib:
+        raise SystemExit(
+            "--eval and --camcalib are mutually exclusive: the eval "
+            "protocol feeds the GT cam_rotmat (eval.py:157-163), not the "
+            "CamCalib branch"
+        )
     platforms = tuple(p.strip() for p in args.platforms.split(",") if p.strip())
     exp, flat = export_serving(
         cfg, model, variables, consts, args.batch_size,
-        camcalib=args.camcalib, platforms=platforms,
+        camcalib=args.camcalib, platforms=platforms, variant=variant,
     )
-    save_exported(args.output, exp, flat, cfg, args.batch_size, args.camcalib)
+    save_exported(args.output, exp, flat, cfg, args.batch_size, args.camcalib,
+                  variant=variant)
     import os
 
     size_mb = sum(
@@ -76,7 +90,8 @@ def main(argv=None):
     ) / 1e6
     print(f"[export] bundle written to {args.output} "
           f"({size_mb:.1f} MB, platforms={','.join(platforms)}, "
-          f"batch={args.batch_size}, camcalib={args.camcalib})")
+          f"batch={args.batch_size}, camcalib={args.camcalib}, "
+          f"variant={variant})")
 
     if args.check:
         from whmr_tpu.utils.testing import make_example_inputs
@@ -86,18 +101,29 @@ def main(argv=None):
         rng = np.random.RandomState(0)
         b = args.batch_size or 4
         inp = make_example_inputs(cfg, b)
-        call_args = dict(
-            x_u8=rng.randint(0, 255, (b, h, w, 3), np.uint8),
+        common = dict(
             center=np.asarray(inp["center"]),
             scale=np.asarray(inp["scale"]),
             bbox_height=np.asarray(inp["bbox_height"]),
             orig_shape=np.asarray(inp["orig_shape"]),
             bbox_info=np.asarray(inp["bbox_info"]),
         )
-        if args.camcalib:
-            ch, cw = cfg.cam_img_size
-            call_args["full_u8"] = rng.randint(0, 255, (1, ch, cw, 3), np.uint8)
-        out = served(**call_args)
+        if args.eval_variant:
+            eye = np.broadcast_to(np.eye(3, dtype=np.float32), (b, 3, 3))
+            out = served.call_eval(
+                img=rng.randn(b, h, w, 3).astype(np.float32),
+                cam_rotmat=np.ascontiguousarray(eye), **common,
+            )
+        else:
+            call_args = dict(
+                x_u8=rng.randint(0, 255, (b, h, w, 3), np.uint8), **common,
+            )
+            if args.camcalib:
+                ch, cw = cfg.cam_img_size
+                call_args["full_u8"] = rng.randint(
+                    0, 255, (1, ch, cw, 3), np.uint8
+                )
+            out = served(**call_args)
         finite = all(bool(np.isfinite(np.asarray(v)).all()) for v in out.values())
         print("[export] check: " + ", ".join(
             f"{k}{tuple(v.shape)}" for k, v in sorted(out.items())

@@ -244,6 +244,12 @@ class DemoPipeline:
         from whmr_tpu.inference.export import load_exported
 
         served = load_exported(bundle)
+        if served.variant != "demo":
+            raise ValueError(
+                f"{bundle} is a {served.variant!r}-variant bundle (metric "
+                "protocol graph); the demo needs a demo-variant export "
+                "(whmr-export without --eval)"
+            )
         if served.camcalib != self.use_camcalib:
             raise ValueError(
                 f"bundle was exported with camcalib={served.camcalib} but "
