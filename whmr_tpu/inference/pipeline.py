@@ -283,6 +283,7 @@ class DemoPipeline:
                 )
         self.model = None
         self.variables = None
+        self._served = served  # exposed for servers (whmr-serve /meta)
 
         def fwd(_variables, _consts, batch, full_u8):
             return served(
@@ -293,17 +294,21 @@ class DemoPipeline:
 
         self._fwd = fwd
 
-    def dispatch_image(self, image: np.ndarray, name: str = ""):
+    def dispatch_image(self, image: np.ndarray, name: str = "", dets=None):
         """Async half of run_image: detect + crop on host, dispatch the
         jitted forward WITHOUT fetching. Returns an opaque pending handle;
         JAX dispatch is asynchronous, so the device computes while the
-        caller overlaps host work (rendering, IO, the next image's crops)."""
+        caller overlaps host work (rendering, IO, the next image's crops).
+
+        dets: explicit Detection list, bypassing self.detector for this
+        image (a serving request that carries its own bboxes)."""
         import jax.numpy as jnp
 
-        try:
-            dets = self.detector(image, name)
-        except TypeError:
-            dets = self.detector(image)
+        if dets is None:
+            try:
+                dets = self.detector(image, name)
+            except TypeError:
+                dets = self.detector(image)
         batch = prepare_crop_batch(
             self.cfg, image, dets, self.max_people, raw_uint8=True
         )
@@ -339,8 +344,9 @@ class DemoPipeline:
         )
         return result
 
-    def run_image(self, image: np.ndarray, name: str = "") -> Dict[str, np.ndarray]:
-        return self.collect(self.dispatch_image(image, name))
+    def run_image(self, image: np.ndarray, name: str = "",
+                  dets=None) -> Dict[str, np.ndarray]:
+        return self.collect(self.dispatch_image(image, name, dets=dets))
 
     def run_folder(
         self,
