@@ -34,6 +34,12 @@ def main() -> None:
     from whmr_tpu.utils.testing import make_example_inputs
 
     served = load_exported(bundle)
+    if served.variant != "demo":
+        raise SystemExit(
+            f"{bundle} is a {served.variant!r}-variant bundle; this bench "
+            "drives the demo serving signature (uint8 crops) — export "
+            "without --eval"
+        )
     b = served.batch_size or 48  # polymorphic bundle: bench at the optimum
     h, w = served.meta["crop_hw"]
     rng = np.random.RandomState(0)

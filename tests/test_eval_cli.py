@@ -266,3 +266,30 @@ class TestBundleEval:
             eval_cli.main(
                 ["--checkpoint", eval_setup["ckpt"], "--bundle", "b"] + base
             )
+
+    def test_polymorphic_bundle_eval(self, eval_setup, tmp_path, capsys):
+        """--batch_size 0 exports a batch-polymorphic eval bundle: the
+        ragged last batch (4 samples at batch 3 -> shapes 3 and 1) runs
+        WITHOUT padding, each at its own concrete shape."""
+        from whmr_tpu.inference import eval_cli, export_cli
+
+        misc = TestEvalCLI._tiny_misc()
+        common = [
+            "--dataset_npz", eval_setup["npz"],
+            "--img_dir", eval_setup["img_dir"],
+            "--batch_size", "3", "--allow_identity_cam",
+        ] + misc
+
+        eval_cli.main(["--checkpoint", eval_setup["ckpt"]] + common)
+        live = self._parse_metrics(capsys.readouterr().out)
+
+        bundle_dir = str(tmp_path / "eval_bundle_poly")
+        export_cli.main([
+            "--checkpoint", eval_setup["ckpt"], "--output", bundle_dir,
+            "--eval", "--batch_size", "0", "--platforms", "cpu",
+        ] + misc)
+        capsys.readouterr()
+
+        eval_cli.main(["--bundle", bundle_dir] + common)
+        frozen = self._parse_metrics(capsys.readouterr().out)
+        np.testing.assert_allclose(frozen, live, rtol=1e-4, atol=1e-3)

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 from whmr_tpu.config import WHMRConfig
 from whmr_tpu.models.regressor import BodyConsts
-from whmr_tpu.models.smpl import smpl_forward, select_h36m_j14
+from whmr_tpu.models.smpl import smpl_forward
 from whmr_tpu.models.whmr import WHMR
 from whmr_tpu.ops.procrustes import batch_compute_similarity_transform
 from whmr_tpu.ops.rotation import batch_rodrigues
