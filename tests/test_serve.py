@@ -45,17 +45,26 @@ def server(tmp_path_factory):
     bundle = str(tmp_path_factory.mktemp("serve") / "bundle")
     save_exported(bundle, exp, flat, cfg, 2, False)
 
+    from whmr_tpu.inference.serve_cli import BatchingExecutor
+
     pipe = DemoPipeline(cfg, None, assets, max_people=2, use_camcalib=False,
                         bundle=bundle)
-    srv = WHMRServer(pipe, dict(pipe._served.meta))
+    executor = BatchingExecutor(pipe, max_wait_ms=20.0)
+    srv = WHMRServer(pipe, dict(pipe._served.meta), executor=executor)
     httpd = srv.bind("127.0.0.1", 0)
     t = threading.Thread(target=httpd.serve_forever, daemon=True)
     t.start()
     try:
-        yield f"http://127.0.0.1:{httpd.server_address[1]}"
+        yield f"http://127.0.0.1:{httpd.server_address[1]}", pipe, executor
     finally:
+        executor.shutdown()
         httpd.shutdown()
         httpd.server_close()
+
+
+@pytest.fixture()
+def url(server):
+    return server[0]
 
 
 def _post(url, body, timeout=300):
@@ -65,20 +74,20 @@ def _post(url, body, timeout=300):
 
 
 class TestServe:
-    def test_healthz_and_meta(self, server):
-        with urllib.request.urlopen(server + "/healthz", timeout=60) as r:
+    def test_healthz_and_meta(self, url):
+        with urllib.request.urlopen(url + "/healthz", timeout=60) as r:
             h = json.loads(r.read())
         assert h["status"] == "ok" and h["frozen"] is True
         assert h["max_people"] == 2 and h["camcalib"] is False
-        with urllib.request.urlopen(server + "/meta", timeout=60) as r:
+        with urllib.request.urlopen(url + "/meta", timeout=60) as r:
             meta = json.loads(r.read())
         assert meta["variant"] == "demo" and meta["batch_size"] == 2
 
-    def test_infer_image_bytes_npz_response(self, server):
+    def test_infer_image_bytes_npz_response(self, url):
         img = np.random.RandomState(0).randint(0, 255, (240, 200, 3), np.uint8)
         ok, png = cv2.imencode(".png", img)
         assert ok
-        status, ctype, body = _post(server + "/infer", png.tobytes())
+        status, ctype, body = _post(url + "/infer", png.tobytes())
         assert status == 200 and ctype == "application/octet-stream"
         out = np.load(io.BytesIO(body))
         assert int(out["n_people"]) >= 1
@@ -86,7 +95,7 @@ class TestServe:
         assert np.isfinite(out["verts"]).all()
         assert out["detections"].shape[-1] == 5
 
-    def test_infer_npz_with_bboxes(self, server):
+    def test_infer_npz_with_bboxes(self, url):
         """Request-supplied bboxes bypass the server detector: two boxes
         in, two people out, crops centered where the client asked."""
         img = np.random.RandomState(1).randint(0, 255, (300, 400, 3), np.uint8)
@@ -94,36 +103,36 @@ class TestServe:
         np.savez(buf, image=img,
                  bboxes=np.array([[100.0, 150.0, 120.0],
                                   [300.0, 150.0, 120.0]], np.float32))
-        status, _, body = _post(server + "/infer", buf.getvalue())
+        status, _, body = _post(url + "/infer", buf.getvalue())
         assert status == 200
         out = np.load(io.BytesIO(body))
         assert int(out["n_people"]) == 2
         np.testing.assert_allclose(out["detections"][:, 0], [100.0, 300.0])
         np.testing.assert_allclose(out["detections"][:, 3], 1.0)
 
-    def test_infer_json_format(self, server):
+    def test_infer_json_format(self, url):
         img = np.random.RandomState(2).randint(0, 255, (64, 64, 3), np.uint8)
         ok, jpg = cv2.imencode(".jpg", img)
-        status, ctype, body = _post(server + "/infer?format=json", jpg.tobytes())
+        status, ctype, body = _post(url + "/infer?format=json", jpg.tobytes())
         assert status == 200 and ctype == "application/json"
         out = json.loads(body)
         assert out["n_people"] >= 1
         assert len(out["verts"][0]) == 6890
 
-    def test_bad_requests(self, server):
+    def test_bad_requests(self, url):
         with pytest.raises(urllib.error.HTTPError) as e:
-            _post(server + "/infer", b"not an image at all")
+            _post(url + "/infer", b"not an image at all")
         assert e.value.code == 400
         assert "error" in json.loads(e.value.read())
 
         buf = io.BytesIO()
         np.savez(buf, wrong_key=np.zeros((4, 4, 3), np.uint8))
         with pytest.raises(urllib.error.HTTPError) as e:
-            _post(server + "/infer", buf.getvalue())
+            _post(url + "/infer", buf.getvalue())
         assert e.value.code == 400
 
         with pytest.raises(urllib.error.HTTPError) as e:
-            with urllib.request.urlopen(server + "/nope", timeout=60):
+            with urllib.request.urlopen(url + "/nope", timeout=60):
                 pass
         assert e.value.code == 404
 
@@ -154,3 +163,160 @@ class TestParseBody:
         img, dets = _parse_infer_body(buf.getvalue())
         assert img.shape == (8, 8, 3)
         assert len(dets) == 1 and dets[0].score == pytest.approx(0.7)
+
+
+class TestCoalescing:
+    def test_deterministic_group_and_equality(self, server):
+        """3 queued single-crop requests at capacity 2 coalesce into a
+        batch of 2 plus a batch of 1, and every request's rows match a
+        per-request pipeline.run_image exactly (row independence)."""
+        from whmr_tpu.inference.pipeline import Detection
+        from whmr_tpu.inference.serve_cli import BatchingExecutor
+
+        _, pipe, _ = server
+        ex = BatchingExecutor(pipe, max_wait_ms=1.0, start=False)
+        rng = np.random.RandomState(3)
+        imgs = [rng.randint(0, 255, (200, 160, 3), np.uint8) for _ in range(3)]
+        dets = [Detection(80.0, 100.0, 90.0)]
+
+        import time
+
+        reqs = []
+        for k, img in enumerate(imgs):
+            t = threading.Thread(
+                target=lambda i=img: reqs.append(ex.submit(i, dets=dets))
+            )
+            t.start()
+            # enforce deterministic queue order: wait for this submit to
+            # enqueue before starting the next
+            deadline = time.time() + 30
+            while ex.q.qsize() < k + 1 and time.time() < deadline:
+                time.sleep(0.01)
+        assert ex.q.qsize() == 3
+
+        # drain manually: the first group fills capacity 2 exactly (the
+        # third request is never pulled, so it stays queued — not a carry)
+        first = ex.q.get()
+        group = ex._collect_group(first)
+        assert len(group) == 2 and ex._carry is None
+        assert ex.q.qsize() == 1
+        ex._run_group(group)
+        for r in group:
+            r.event.set()
+        group2 = ex._collect_group(ex.q.get())
+        assert len(group2) == 1
+        ex._run_group(group2)
+        for r in group2:
+            r.event.set()
+
+        assert ex.stats["device_batches"] == 2
+        assert ex.stats["requests"] == 3
+        assert ex.stats["coalesced_requests"] == 1
+
+        deadline = time.time() + 30
+        while len(reqs) < 3 and time.time() < deadline:
+            time.sleep(0.01)
+        assert len(reqs) == 3
+        for img, got in zip(imgs, [r.result for r in group] + [group2[0].result]):
+            ref = pipe.run_image(img, dets=dets)
+            assert got["n_people"] == ref["n_people"] == 1
+            np.testing.assert_allclose(got["verts"], ref["verts"],
+                                       rtol=1e-6, atol=1e-6)
+            np.testing.assert_allclose(got["verts_world"],
+                                       ref["verts_world"],
+                                       rtol=1e-6, atol=1e-6)
+
+    def test_concurrent_http_posts_and_stats(self, server):
+        """Concurrent clients all get correct responses through the
+        coalescing path; /stats accounts for every request."""
+        url, _, ex = server
+        before = dict(ex.stats)
+        rng = np.random.RandomState(4)
+
+        def post_one(seed):
+            img = rng.randint(0, 255, (180, 180, 3), np.uint8)
+            buf = io.BytesIO()
+            np.savez(buf, image=img,
+                     bboxes=np.array([[90.0, 90.0, 100.0]], np.float32))
+            status, _, body = _post(url + "/infer", buf.getvalue())
+            assert status == 200
+            out = np.load(io.BytesIO(body))
+            assert int(out["n_people"]) == 1
+            assert np.isfinite(out["verts"]).all()
+
+        threads = [threading.Thread(target=post_one, args=(i,))
+                   for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        assert not any(t.is_alive() for t in threads)
+
+        assert ex.stats["requests"] - before["requests"] == 4
+        made = ex.stats["device_batches"] - before["device_batches"]
+        assert 2 <= made <= 4  # capacity 2: at best 2 batches, worst 4
+
+        with urllib.request.urlopen(url + "/stats", timeout=60) as r:
+            stats = json.loads(r.read())
+        assert stats["requests"] == ex.stats["requests"]
+
+    def test_executor_rejects_camcalib(self, server):
+        from whmr_tpu.inference.serve_cli import BatchingExecutor
+
+        _, pipe, _ = server
+        pipe_cc = type("P", (), {"use_camcalib": True})()
+        with pytest.raises(ValueError, match="camcalib"):
+            BatchingExecutor(pipe_cc)
+
+    def test_zero_detection_request(self, server):
+        """A request whose detector finds nobody returns empty arrays,
+        not an error (and does not poison the shared batch)."""
+        _, pipe, ex = server
+        img = np.zeros((100, 100, 3), np.uint8)
+        out = ex.submit(img, dets=[])
+        assert out["n_people"] == 0
+        assert out["verts"].shape[0] == 0
+        assert out["detections"].shape == (0, 5)
+
+    def test_carry_when_next_request_does_not_fit(self, server):
+        """A pulled request that would overflow capacity becomes the carry
+        and opens the next batch instead of being dropped or split."""
+        import time
+
+        from whmr_tpu.inference.pipeline import Detection
+        from whmr_tpu.inference.serve_cli import BatchingExecutor
+
+        _, pipe, _ = server
+        ex = BatchingExecutor(pipe, max_wait_ms=1.0, start=False)
+        img = np.random.RandomState(5).randint(0, 255, (200, 160, 3), np.uint8)
+        one = [Detection(80.0, 100.0, 90.0)]
+        two = [Detection(60.0, 100.0, 90.0), Detection(120.0, 100.0, 90.0)]
+
+        done = []
+        for dets in (one, two):
+            threading.Thread(
+                target=lambda d=dets: done.append(ex.submit(img, dets=d))
+            ).start()
+            deadline = time.time() + 30
+            want = 1 if dets is one else 2
+            while ex.q.qsize() < want and time.time() < deadline:
+                time.sleep(0.01)
+
+        first = ex.q.get()
+        group = ex._collect_group(first)
+        # the 2-crop request does not fit next to the 1-crop one
+        assert len(group) == 1 and ex._carry is not None
+        ex._run_group(group)
+        for r in group:
+            r.event.set()
+        carry, ex._carry = ex._carry, None
+        group2 = ex._collect_group(carry)
+        assert len(group2) == 1 and group2[0].n == 2
+        ex._run_group(group2)
+        for r in group2:
+            r.event.set()
+
+        deadline = time.time() + 30
+        while len(done) < 2 and time.time() < deadline:
+            time.sleep(0.01)
+        assert sorted(d["n_people"] for d in done) == [1, 2]

@@ -20,9 +20,14 @@ Protocol (stdlib-only on both sides — no framework needed in clients):
   pred_cam_t, focal_length, ..., n_people, detections); pass
   `?format=json` for a json body instead (lists — large!).
 
-Concurrency: requests are decoded in parallel (ThreadingHTTPServer) but
-the device section is serialized by a lock — one chip, one in-flight
-batch keeps latency predictable (and respects the axon one-client rule).
+Concurrency: requests are decoded in parallel (ThreadingHTTPServer) and
+— when CamCalib is off — their person crops are COALESCED into shared
+device batches (`BatchingExecutor`): the chip sees one padded batch of
+`max_people` rows regardless of how many clients contributed, so
+concurrent load raises utilization instead of queueing whole-batch
+launches. With CamCalib on, the full frame is tied to the whole batch
+(whmr.py:194-199), so requests fall back to one device call each behind
+a lock. `GET /stats` reports the coalescing ratio.
 """
 
 from __future__ import annotations
@@ -30,6 +35,7 @@ from __future__ import annotations
 import argparse
 import io
 import json
+import queue
 import threading
 
 
@@ -49,6 +55,17 @@ def build_parser() -> argparse.ArgumentParser:
                         "(same semantics as whmr-demo)")
     p.add_argument("--max_people", type=int, default=8)
     p.add_argument("--no_camcalib", action="store_true")
+    p.add_argument("--no_coalesce", action="store_true",
+                   help="disable cross-request crop coalescing (one device "
+                        "call per request behind a lock); coalescing is "
+                        "automatic when camcalib is off")
+    p.add_argument("--coalesce_wait_ms", type=float, default=2.0,
+                   help="max time the batcher waits for more requests "
+                        "after the first one")
+    p.add_argument("--warmup", action="store_true",
+                   help="compile the serving graph with a dummy request "
+                        "before accepting traffic (first client call is "
+                        "then fast)")
     p.add_argument("--data_dir", default=None, help="asset dir")
     p.add_argument("--cfg_file", default=None,
                    help="reference-style YAML config")
@@ -117,15 +134,170 @@ def _parse_infer_body(body: bytes):
     return img, None
 
 
+class _Request:
+    __slots__ = ("batch", "n", "dets", "event", "result", "error")
+
+    def __init__(self, batch, n, dets):
+        self.batch = batch      # unpadded host arrays, n rows each
+        self.n = n              # valid crops (0 = no detections)
+        self.dets = dets
+        self.event = threading.Event()
+        self.result = None
+        self.error = None
+
+
+class BatchingExecutor:
+    """Cross-request crop coalescing onto one device.
+
+    Host-side work (detector, crops) runs in the REQUEST thread; only the
+    forward is centralized. The worker drains queued requests until the
+    batch capacity (= the pipeline/bundle batch) is full or `max_wait_ms`
+    elapses after the first one, pads to capacity, runs ONE forward, and
+    scatters row ranges back. Rows are independent in the eval-mode graph
+    (no cross-crop ops with CamCalib off), so results are identical to
+    per-request calls — proven in tests/test_serve.py."""
+
+    def __init__(self, pipeline, max_wait_ms: float = 2.0, start: bool = True):
+        import numpy as np  # noqa: F401  (used throughout)
+
+        if pipeline.use_camcalib:
+            raise ValueError(
+                "coalescing requires camcalib off: the CamCalib frame is "
+                "shared by the whole batch, so crops from different images "
+                "cannot share one forward"
+            )
+        self.pipeline = pipeline
+        self.capacity = int(pipeline.max_people)
+        self.max_wait = max_wait_ms / 1e3
+        self.q: "queue.Queue[_Request]" = queue.Queue()
+        self._carry = None  # request that did not fit the previous batch
+        self._stop = threading.Event()
+        self.stats = {"requests": 0, "device_batches": 0,
+                      "coalesced_requests": 0, "crops": 0}
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        if start:
+            self._thread.start()
+
+    # -- request side ----------------------------------------------------
+    def submit(self, image, dets=None, timeout: float = 600.0):
+        import numpy as np
+
+        from whmr_tpu.inference.pipeline import prepare_crop_batch
+
+        pl = self.pipeline
+        if dets is None:
+            try:
+                dets = pl.detector(image, "")
+            except TypeError:
+                dets = pl.detector(image)
+        dets = list(dets)[: self.capacity]
+        n = len(dets)
+        # unpadded rows (max_people == n); n=0 keeps a single masked row so
+        # array shapes stay valid, and the empty result is sliced back out
+        batch = prepare_crop_batch(pl.cfg, image, dets, max(n, 1),
+                                   raw_uint8=True)
+        batch = {k: v for k, v in batch.items() if k != "valid"}
+        req = _Request(batch, n, dets)
+        self.q.put(req)
+        if not req.event.wait(timeout):
+            raise TimeoutError("inference timed out")
+        if req.error is not None:
+            raise req.error
+        return req.result
+
+    def shutdown(self):
+        self._stop.set()
+
+    # -- worker side -----------------------------------------------------
+    def _collect_group(self, first):
+        """first + whatever else fits within capacity/max_wait."""
+        import time
+
+        group = [first]
+        total = max(first.n, 1)
+        deadline = time.monotonic() + self.max_wait
+        while total < self.capacity:
+            wait = deadline - time.monotonic()
+            try:
+                item = self.q.get(timeout=wait) if wait > 0 else self.q.get_nowait()
+            except queue.Empty:
+                break
+            if total + max(item.n, 1) > self.capacity:
+                self._carry = item  # starts the next batch
+                break
+            group.append(item)
+            total += max(item.n, 1)
+        return group
+
+    def _run_group(self, group):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        pl = self.pipeline
+        parts = {k: [r.batch[k] for r in group] for k in group[0].batch}
+        rows = sum(v.shape[0] for v in parts["x"])
+        pad = self.capacity - rows
+        combined = {k: np.concatenate(v) for k, v in parts.items()}
+        if pad:
+            # same padding convention as prepare_crop_batch's masked rows:
+            # finite, row-independent, never read back
+            last_shape = combined["orig_shape"][-1:]
+            combined = {
+                k: np.concatenate([v, np.zeros((pad, *v.shape[1:]), v.dtype)])
+                for k, v in combined.items()
+            }
+            combined["scale"][rows:] = 1.0
+            combined["bbox_height"][rows:] = 1.0
+            combined["orig_shape"][rows:] = last_shape
+        out = pl._fwd(pl.variables, pl.consts,
+                      {k: jnp.asarray(v) for k, v in combined.items()}, None)
+        out_host = jax.device_get(out)
+        start = 0
+        for r in group:
+            span = max(r.n, 1)
+            result = {k: v[start:start + r.n] for k, v in out_host.items()}
+            result["n_people"] = r.n
+            result["detections"] = np.array(
+                [[d.cx, d.cy, d.size, d.score, d.track_id] for d in r.dets],
+                np.float32,
+            ).reshape(r.n, 5)
+            r.result = result
+            start += span
+        self.stats["requests"] += len(group)
+        self.stats["device_batches"] += 1
+        self.stats["coalesced_requests"] += len(group) - 1
+        self.stats["crops"] += rows
+
+    def _loop(self):
+        while not self._stop.is_set():
+            if self._carry is not None:
+                first, self._carry = self._carry, None
+            else:
+                try:
+                    first = self.q.get(timeout=0.1)
+                except queue.Empty:
+                    continue
+            group = self._collect_group(first)
+            try:
+                self._run_group(group)
+            except Exception as e:  # fail the whole group, keep serving
+                for r in group:
+                    r.error = e
+            for r in group:
+                r.event.set()
+
+
 class WHMRServer:
     """The pipeline + an http.server around it. `serve_forever()` blocks;
     tests drive `httpd.serve_forever` in a thread and call `shutdown()`."""
 
-    def __init__(self, pipeline, meta: dict):
+    def __init__(self, pipeline, meta: dict, executor: "BatchingExecutor" = None):
         from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
         self.pipeline = pipeline
         self.meta = meta
+        self.executor = executor
         self._device_lock = threading.Lock()
         server = self
 
@@ -151,9 +323,14 @@ class WHMRServer:
                         "max_people": server.pipeline.max_people,
                         "camcalib": server.pipeline.use_camcalib,
                         "frozen": server.pipeline.model is None,
+                        "coalescing": server.executor is not None,
                     })
                 elif self.path == "/meta":
                     self._json(200, server.meta)
+                elif self.path == "/stats":
+                    self._json(200, dict(server.executor.stats)
+                               if server.executor else
+                               {"coalescing": False})
                 else:
                     self._json(404, {"error": f"unknown path {self.path}"})
 
@@ -168,8 +345,11 @@ class WHMRServer:
                     self._json(400, {"error": str(e)})
                     return
                 try:
-                    with server._device_lock:
-                        result = server.pipeline.run_image(img, dets=dets)
+                    if server.executor is not None:
+                        result = server.executor.submit(img, dets=dets)
+                    else:
+                        with server._device_lock:
+                            result = server.pipeline.run_image(img, dets=dets)
                 except Exception as e:  # surface as 500, keep serving
                     self._json(500, {"error": f"{type(e).__name__}: {e}"})
                     return
@@ -202,11 +382,28 @@ def main(argv=None):
     meta = dict(getattr(getattr(pipeline, "_served", None), "meta", None)
                 or {"source": "live checkpoint",
                     "crop_hw": list(pipeline.cfg.crop_hw)})
-    server = WHMRServer(pipeline, meta)
+    executor = None
+    if not pipeline.use_camcalib and not args.no_coalesce:
+        executor = BatchingExecutor(pipeline,
+                                    max_wait_ms=args.coalesce_wait_ms)
+    if args.warmup:
+        import numpy as np
+
+        from whmr_tpu.inference.pipeline import Detection
+
+        dummy = np.zeros((64, 64, 3), np.uint8)
+        dets = [Detection(32.0, 32.0, 48.0)]
+        if executor is not None:
+            executor.submit(dummy, dets=dets)
+        else:
+            pipeline.run_image(dummy, dets=dets)
+        print("[serve] warmup compile done", flush=True)
+    server = WHMRServer(pipeline, meta, executor=executor)
     httpd = server.bind(args.host, args.port)
     print(f"[serve] WHMR listening on http://{args.host}:{httpd.server_address[1]} "
           f"(detector={kind}, max_people={args.max_people}, "
-          f"frozen={pipeline.model is None})", flush=True)
+          f"frozen={pipeline.model is None}, "
+          f"coalescing={executor is not None})", flush=True)
     try:
         httpd.serve_forever()
     except KeyboardInterrupt:
