@@ -50,11 +50,12 @@ def wait_for_tpu(deadline_s: float = 900.0, probe_timeout_s: float = 150.0) -> N
     if plats.split(",")[0].strip() != "axon":
         return
     try:
-        # this process already holds a live backend client (e.g. the driver
+        # this process already holds a live AXON client (e.g. the driver
         # re-enters entry() after a compile-check): probe subprocesses would
         # queue behind OUR OWN grant ("one TPU client at a time") and burn
-        # the whole deadline against a healthy pool — skip probing entirely
-        if jmod is not None and jmod._src.xla_bridge._backends:
+        # the whole deadline against a healthy pool — skip probing entirely.
+        # An initialized CPU backend must NOT skip: it holds no pool grant.
+        if jmod is not None and "axon" in jmod._src.xla_bridge._backends:
             return
     except Exception:
         pass

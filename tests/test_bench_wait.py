@@ -93,6 +93,32 @@ class TestWaitForTpu:
         bench.wait_for_tpu(deadline_s=5.0)
         assert not calls
 
+    def test_cpu_backend_does_not_skip_probe(self, monkeypatch):
+        """An initialized CPU backend holds no pool grant — probing must
+        still happen (only a live AXON client skips it)."""
+        import types
+
+        monkeypatch.setenv("JAX_PLATFORMS", "axon")
+        monkeypatch.setitem(
+            sys.modules, "jax",
+            types.SimpleNamespace(
+                config=types.SimpleNamespace(jax_platforms="axon"),
+                _src=types.SimpleNamespace(
+                    xla_bridge=types.SimpleNamespace(
+                        _backends={"cpu": object()}
+                    )
+                ),
+            ),
+        )
+        probed = []
+        fake = self._fake_popen("TPU_OK\n")
+        monkeypatch.setattr(
+            subprocess, "Popen",
+            lambda *a, **k: probed.append(a) or fake(*a, **k),
+        )
+        bench.wait_for_tpu(deadline_s=5.0)
+        assert probed  # the probe subprocess WAS launched
+
     def test_returns_on_probe_ok(self, monkeypatch):
         monkeypatch.setenv("JAX_PLATFORMS", "axon,cpu")
         self._fake_axon_jax(monkeypatch)

@@ -253,6 +253,16 @@ class TestBundleEval:
         frozen = self._parse_metrics(capsys.readouterr().out)
         np.testing.assert_allclose(frozen, live, rtol=1e-4, atol=1e-3)
 
+        # a --batch_size above the bundle's fixed shape fails up front with
+        # a message naming the bundle, not deep in run_evaluation
+        with pytest.raises(SystemExit, match="fixed batch"):
+            eval_cli.main([
+                "--bundle", bundle_dir,
+                "--dataset_npz", eval_setup["npz"],
+                "--img_dir", eval_setup["img_dir"],
+                "--batch_size", "5", "--allow_identity_cam",
+            ] + misc)
+
     def test_bundle_flag_guards(self, eval_setup, tmp_path):
         from whmr_tpu.inference import eval_cli
 

@@ -320,3 +320,66 @@ class TestCoalescing:
         while len(done) < 2 and time.time() < deadline:
             time.sleep(0.01)
         assert sorted(d["n_people"] for d in done) == [1, 2]
+
+    def test_cancelled_orphan_is_skipped(self, server):
+        """A request whose submit timed out must not burn device-batch
+        capacity: the worker drops it (event set, no compute)."""
+        from whmr_tpu.inference.pipeline import Detection
+        from whmr_tpu.inference.serve_cli import BatchingExecutor
+
+        _, pipe, _ = server
+        ex = BatchingExecutor(pipe, max_wait_ms=1.0, start=False)
+        img = np.zeros((100, 100, 3), np.uint8)
+        dets = [Detection(50.0, 50.0, 60.0)]
+
+        errs = []
+
+        def doomed():
+            try:
+                ex.submit(img, dets=dets, timeout=0.01)
+            except TimeoutError as e:
+                errs.append(e)
+
+        t = threading.Thread(target=doomed)
+        t.start()
+        t.join(timeout=30)
+        assert errs  # timed out (no worker running)
+
+        # a live request behind the orphan still gets served
+        live = threading.Thread(
+            target=lambda: ex.submit(img, dets=dets, timeout=120)
+        )
+        live.start()
+        import time
+
+        deadline = time.time() + 30
+        while ex.q.qsize() < 2 and time.time() < deadline:
+            time.sleep(0.01)
+
+        first = ex.q.get()
+        assert first.cancelled
+        # mimic the worker loop's skip
+        first.event.set()
+        nxt = ex.q.get()
+        group = ex._collect_group(nxt)
+        assert group == [nxt] and not nxt.cancelled
+        ex._run_group(group)
+        for r in group:
+            r.event.set()
+        live.join(timeout=30)
+        assert not live.is_alive()
+        assert ex.stats["requests"] == 1  # the orphan never hit the device
+
+
+class TestServeGuards:
+    def test_corrupt_npz_returns_400(self, url):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(url + "/infer", b"PK\x03\x04 this is not really a zip")
+        assert e.value.code == 400
+        assert "npz" in json.loads(e.value.read())["error"]
+
+    def test_main_requires_weights_source(self):
+        from whmr_tpu.inference import serve_cli
+
+        with pytest.raises(SystemExit, match="needs weights"):
+            serve_cli.main(["--port", "0"])

@@ -193,6 +193,13 @@ def load_bundle_state(args, cfg):
             f"config has {list(cfg.crop_hw)}; pass the --cfg_file the "
             "bundle was exported with"
         )
+    if served.batch_size and args.batch_size > served.batch_size:
+        raise SystemExit(
+            f"{args.bundle} was exported with a fixed batch of "
+            f"{served.batch_size}; pass --batch_size {served.batch_size} "
+            "or smaller (smaller batches are padded), or re-export with "
+            "--batch_size 0 for a polymorphic bundle"
+        )
     assets = get_assets(args.data_dir)
     consts = body_consts_from_assets(assets)
 

@@ -154,6 +154,26 @@ def prepare_full_image(cfg: WHMRConfig, image: np.ndarray, raw_uint8: bool = Fal
     return normalize_np(canvas / 255.0)
 
 
+def call_detector(detector, image: np.ndarray, name: str = ""):
+    """Invoke a pluggable detector: `(image, name)` if it takes one,
+    else `(image)` — the single calling convention for every consumer
+    (DemoPipeline, whmr-serve)."""
+    try:
+        return detector(image, name)
+    except TypeError:
+        return detector(image)
+
+
+def detections_array(dets: Sequence[Detection]) -> np.ndarray:
+    """The response-schema detections matrix. Columns: cx, cy, size,
+    score, track_id (-1 when untracked) — one definition shared by
+    DemoPipeline.collect and the serving batcher."""
+    return np.array(
+        [[d.cx, d.cy, d.size, d.score, d.track_id] for d in dets],
+        np.float32,
+    ).reshape(len(dets), 5)
+
+
 def normalize_np(img01: np.ndarray) -> np.ndarray:
     mean = np.asarray(IMG_NORM_MEAN, np.float32)
     std = np.asarray(IMG_NORM_STD, np.float32)
@@ -305,10 +325,7 @@ class DemoPipeline:
         import jax.numpy as jnp
 
         if dets is None:
-            try:
-                dets = self.detector(image, name)
-            except TypeError:
-                dets = self.detector(image)
+            dets = call_detector(self.detector, image, name)
         batch = prepare_crop_batch(
             self.cfg, image, dets, self.max_people, raw_uint8=True
         )
@@ -336,12 +353,9 @@ class DemoPipeline:
         out_host = jax.device_get(out)
         result = {k: v[:n] for k, v in out_host.items()}
         result["n_people"] = n
-        # Columns: cx, cy, size, score, track_id (-1 when untracked) — the
-        # track column lets a consumer regroup person slots across frames.
-        result["detections"] = np.array(
-            [[d.cx, d.cy, d.size, d.score, d.track_id] for d in dets[:n]],
-            np.float32,
-        )
+        # the track_id column lets a consumer regroup person slots across
+        # frames (see detections_array for the schema)
+        result["detections"] = detections_array(dets[:n])
         return result
 
     def run_image(self, image: np.ndarray, name: str = "",

@@ -105,7 +105,10 @@ def _parse_infer_body(body: bytes):
             "'image' array (and optional 'bboxes')"
         )
     if body[:4] == b"PK\x03\x04":  # npz = zip
-        z = np.load(io.BytesIO(body))
+        try:
+            z = np.load(io.BytesIO(body))
+        except Exception as e:  # truncated/corrupt zip -> 400, not a crash
+            raise ValueError(f"unreadable npz request body: {e}")
         if "image" not in z:
             raise ValueError("npz request must carry an 'image' array")
         img = np.ascontiguousarray(z["image"])
@@ -135,7 +138,8 @@ def _parse_infer_body(body: bytes):
 
 
 class _Request:
-    __slots__ = ("batch", "n", "dets", "event", "result", "error")
+    __slots__ = ("batch", "n", "dets", "event", "result", "error",
+                 "cancelled")
 
     def __init__(self, batch, n, dets):
         self.batch = batch      # unpadded host arrays, n rows each
@@ -144,6 +148,7 @@ class _Request:
         self.event = threading.Event()
         self.result = None
         self.error = None
+        self.cancelled = False  # set by a timed-out submit; worker skips it
 
 
 class BatchingExecutor:
@@ -186,10 +191,9 @@ class BatchingExecutor:
 
         pl = self.pipeline
         if dets is None:
-            try:
-                dets = pl.detector(image, "")
-            except TypeError:
-                dets = pl.detector(image)
+            from whmr_tpu.inference.pipeline import call_detector
+
+            dets = call_detector(pl.detector, image)
         dets = list(dets)[: self.capacity]
         n = len(dets)
         # unpadded rows (max_people == n); n=0 keeps a single masked row so
@@ -200,6 +204,9 @@ class BatchingExecutor:
         req = _Request(batch, n, dets)
         self.q.put(req)
         if not req.event.wait(timeout):
+            # best-effort: if the worker has not yet grouped it, the orphan
+            # won't burn device-batch capacity on a result nobody reads
+            req.cancelled = True
             raise TimeoutError("inference timed out")
         if req.error is not None:
             raise req.error
@@ -222,6 +229,9 @@ class BatchingExecutor:
                 item = self.q.get(timeout=wait) if wait > 0 else self.q.get_nowait()
             except queue.Empty:
                 break
+            if item.cancelled:  # timed-out orphan: drop, don't compute
+                item.event.set()
+                continue
             if total + max(item.n, 1) > self.capacity:
                 self._carry = item  # starts the next batch
                 break
@@ -233,6 +243,8 @@ class BatchingExecutor:
         import jax
         import jax.numpy as jnp
         import numpy as np
+
+        from whmr_tpu.inference.pipeline import detections_array
 
         pl = self.pipeline
         parts = {k: [r.batch[k] for r in group] for k in group[0].batch}
@@ -258,10 +270,7 @@ class BatchingExecutor:
             span = max(r.n, 1)
             result = {k: v[start:start + r.n] for k, v in out_host.items()}
             result["n_people"] = r.n
-            result["detections"] = np.array(
-                [[d.cx, d.cy, d.size, d.score, d.track_id] for d in r.dets],
-                np.float32,
-            ).reshape(r.n, 5)
+            result["detections"] = detections_array(r.dets)
             r.result = result
             start += span
         self.stats["requests"] += len(group)
@@ -278,6 +287,9 @@ class BatchingExecutor:
                     first = self.q.get(timeout=0.1)
                 except queue.Empty:
                     continue
+            if first.cancelled:
+                first.event.set()
+                continue
             group = self._collect_group(first)
             try:
                 self._run_group(group)
@@ -371,6 +383,13 @@ class WHMRServer:
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if not args.bundle and not args.checkpoint:
+        # the demo CLI's "random init if omitted" is a visual-debugging
+        # affordance; a network daemon silently serving garbage is not
+        raise SystemExit(
+            "whmr-serve needs weights: pass --bundle (whmr-export output) "
+            "or --checkpoint (orbax dir)"
+        )
 
     from whmr_tpu.inference.demo_cli import build_pipeline, detector_kind
     from whmr_tpu.inference.detector import build_detector
