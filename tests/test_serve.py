@@ -383,3 +383,105 @@ class TestServeGuards:
 
         with pytest.raises(SystemExit, match="needs weights"):
             serve_cli.main(["--port", "0"])
+
+
+class TestDataParallelServing:
+    """`--data_parallel N`: the live pipeline shards crop batches over a
+    'data' mesh. Rows are independent, so sharded results must match the
+    single-device pipeline (net-new vs the single-GPU reference demo)."""
+
+    @pytest.fixture(scope="class")
+    def pipelines(self):
+        import jax
+        import jax.numpy as jnp
+
+        from whmr_tpu.data.assets import synthetic_smpl_assets
+        from whmr_tpu.inference.pipeline import DemoPipeline
+        from whmr_tpu.models.regressor import body_consts_from_assets
+        from whmr_tpu.models.whmr import WHMR
+        from whmr_tpu.parallel import make_mesh
+        from whmr_tpu.training.train_step import create_train_state
+
+        cfg = tiny_config()
+        assets = synthetic_smpl_assets()
+        consts = body_consts_from_assets(assets)
+        model = WHMR(cfg)
+        inputs = make_example_inputs(cfg, 2)
+        state = create_train_state(
+            cfg, model, consts, jax.random.PRNGKey(0),
+            {k: jnp.asarray(v) for k, v in inputs.items()},
+        )
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        mesh = make_mesh(4)
+        dp = DemoPipeline(cfg, variables, assets, max_people=4,
+                          use_camcalib=False, mesh=mesh)
+        single = DemoPipeline(cfg, variables, assets, max_people=4,
+                              use_camcalib=False)
+        return dp, single
+
+    def test_dp_matches_single_device(self, pipelines):
+        from whmr_tpu.inference.pipeline import Detection
+
+        dp, single = pipelines
+        rng = np.random.RandomState(7)
+        img = rng.randint(0, 255, (96, 128, 3), np.uint8)
+        dets = [Detection(40.0, 48.0, 60.0), Detection(90.0, 50.0, 70.0),
+                Detection(64.0, 48.0, 90.0)]
+        a = dp.run_image(img, dets=dets)
+        b = single.run_image(img, dets=dets)
+        assert a["n_people"] == b["n_people"] == 3
+        for k in ("verts", "verts_world", "pred_cam_t", "focal_length"):
+            np.testing.assert_allclose(a[k], b[k], rtol=2e-5, atol=2e-5)
+
+    def test_dp_camcalib_frame_replicated(self, pipelines):
+        """CamCalib mode still works under DP: the batch-1 full frame is
+        replicated while crops shard."""
+        import jax
+
+        from whmr_tpu.data.assets import synthetic_smpl_assets
+        from whmr_tpu.inference.pipeline import DemoPipeline, Detection
+        from whmr_tpu.parallel import make_mesh
+
+        dp, single = pipelines
+        cfg = dp.cfg
+        assets = synthetic_smpl_assets()
+        cal = DemoPipeline(cfg, single.variables, assets, max_people=4,
+                           use_camcalib=True, mesh=make_mesh(4))
+        rng = np.random.RandomState(3)
+        img = rng.randint(0, 255, (96, 128, 3), np.uint8)
+        out = cal.run_image(img, dets=[Detection(64.0, 48.0, 80.0)])
+        assert out["n_people"] == 1
+        assert np.isfinite(out["verts"]).all()
+
+    def test_dp_executor_coalesces_across_mesh(self, pipelines):
+        """The serving BatchingExecutor shards its coalesced batch."""
+        from whmr_tpu.inference.pipeline import Detection
+        from whmr_tpu.inference.serve_cli import BatchingExecutor
+
+        dp, single = pipelines
+        ex = BatchingExecutor(dp, max_wait_ms=20.0)
+        try:
+            rng = np.random.RandomState(11)
+            img = rng.randint(0, 255, (80, 80, 3), np.uint8)
+            dets = [Detection(40.0, 40.0, 60.0)]
+            got = ex.submit(img, dets=dets, timeout=600)
+            want = single.run_image(img, dets=dets)
+            np.testing.assert_allclose(got["verts"], want["verts"],
+                                       rtol=2e-5, atol=2e-5)
+        finally:
+            ex.shutdown()
+
+    def test_dp_rejects_bundle_and_bad_divisor(self):
+        from whmr_tpu.data.assets import synthetic_smpl_assets
+        from whmr_tpu.inference.pipeline import DemoPipeline
+        from whmr_tpu.parallel import make_mesh
+
+        assets = synthetic_smpl_assets()
+        cfg = tiny_config()
+        mesh = make_mesh(4)
+        with pytest.raises(ValueError, match="divisible"):
+            DemoPipeline(cfg, None, assets, max_people=3,
+                         use_camcalib=False, mesh=mesh)
+        with pytest.raises(ValueError, match="single device"):
+            DemoPipeline(cfg, None, assets, max_people=4,
+                         use_camcalib=False, mesh=mesh, bundle="whatever")

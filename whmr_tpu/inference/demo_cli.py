@@ -20,6 +20,9 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--bbox_file", default=None, help="json bboxes for --detector file")
     p.add_argument("--max_people", type=int, default=8)
+    p.add_argument("--data_parallel", type=int, default=0, metavar="N",
+                   help="shard each crop batch over an N-device data mesh "
+                        "(live model only; max_people must divide by N)")
     p.add_argument("--no_render", action="store_true")
     p.add_argument("--save_obj", action="store_true")
     p.add_argument("--no_camcalib", action="store_true")
@@ -52,6 +55,11 @@ def build_pipeline(args):
             raise SystemExit(
                 "--bundle already carries its weights; drop --checkpoint "
                 "(or drop --bundle to run the live model)"
+            )
+        if getattr(args, "data_parallel", 0):
+            raise SystemExit(
+                "--data_parallel needs the live model (--checkpoint): an "
+                "exported bundle is traced for a single device"
             )
         return DemoPipeline(
             cfg, None, assets,
@@ -94,10 +102,17 @@ def build_pipeline(args):
             raise SystemExit(f"no checkpoint in {args.checkpoint}")
         variables = {"params": payload["params"], "batch_stats": payload["batch_stats"]}
 
+    mesh = None
+    if getattr(args, "data_parallel", 0):
+        from whmr_tpu.parallel import make_mesh
+
+        mesh = make_mesh(args.data_parallel)
+
     return DemoPipeline(
         cfg, variables, assets,
         max_people=args.max_people,
         use_camcalib=not args.no_camcalib,
+        mesh=mesh,
     )
 
 

@@ -193,10 +193,19 @@ class DemoPipeline:
         use_camcalib: bool = True,
         dtype=None,
         bundle: str = None,
+        mesh=None,
     ):
         """bundle: path to a whmr-export directory — the demo then runs the
         frozen AOT graph (ExportedWHMR) instead of building the live model;
-        `variables` may be None in that mode (weights live in the bundle)."""
+        `variables` may be None in that mode (weights live in the bundle).
+
+        mesh: a `jax.sharding.Mesh` with a 'data' axis — the crop batch is
+        sharded over it (rows are independent, so N chips serve N× the
+        per-batch capacity; net-new vs the reference, whose demo is
+        single-GPU, demo/tester.py:151-162). Weights are replicated; the
+        CamCalib full frame (batch 1) is replicated too, so only the
+        per-crop work scales. Requires `max_people % data_axis == 0` and a
+        live model (exported bundles are traced for one device)."""
         import jax
         import jax.numpy as jnp
 
@@ -205,6 +214,19 @@ class DemoPipeline:
         self.max_people = max_people
         self.detector = detector or FullImageDetector()
         self.use_camcalib = use_camcalib
+        if mesh is not None:
+            if bundle is not None:
+                raise ValueError(
+                    "data-parallel serving needs the live model: an exported "
+                    "bundle is traced for a single device (re-export is not "
+                    "enough — jax.export fixes the device assignment)"
+                )
+            data_axis = mesh.shape["data"]
+            if max_people % data_axis != 0:
+                raise ValueError(
+                    f"max_people={max_people} must be divisible by the "
+                    f"mesh data axis ({data_axis}) to shard the crop batch"
+                )
         if bundle is not None:
             # frozen graph ignores consts (weights + consts live in the
             # bundle); skip the model-stack imports — bundle serving needs
@@ -254,7 +276,19 @@ class DemoPipeline:
                 "local_pose": vis["local_pose"],
             }
 
-        self._fwd = jax.jit(fwd)
+        if mesh is None:
+            self._fwd = jax.jit(fwd)
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(mesh, P())
+            dp = NamedSharding(mesh, P("data"))
+            # params/consts replicated, crop batch row-sharded over 'data',
+            # CamCalib frame (batch 1) replicated — rows are independent in
+            # the forward, so outputs match the single-device graph
+            self._fwd = jax.jit(fwd, in_shardings=(rep, rep, dp, rep))
+            self.variables = jax.device_put(self.variables, rep)
+            self.consts = jax.device_put(self.consts, rep)
 
     def _init_from_bundle(self, bundle: str) -> None:
         """Serve the demo from a whmr-export bundle: the frozen AOT graph

@@ -28,6 +28,11 @@ concurrent load raises utilization instead of queueing whole-batch
 launches. With CamCalib on, the full frame is tied to the whole batch
 (whmr.py:194-199), so requests fall back to one device call each behind
 a lock. `GET /stats` reports the coalescing ratio.
+
+Scale-out: `--data_parallel N` (live --checkpoint mode) shards every
+device batch over an N-chip 'data' mesh — coalesced crops from all
+clients spread across chips while weights stay replicated, so capacity
+scales with N at unchanged per-request semantics.
 """
 
 from __future__ import annotations
@@ -54,6 +59,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="server-side detector for requests without bboxes "
                         "(same semantics as whmr-demo)")
     p.add_argument("--max_people", type=int, default=8)
+    p.add_argument("--data_parallel", type=int, default=0, metavar="N",
+                   help="shard each device batch over an N-device data "
+                        "mesh (live --checkpoint only; coalesced batches "
+                        "then span N chips, so raise --max_people to match)")
     p.add_argument("--no_camcalib", action="store_true")
     p.add_argument("--no_coalesce", action="store_true",
                    help="disable cross-request crop coalescing (one device "

@@ -89,6 +89,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="default: iuv with --checkpoint, full otherwise")
     p.add_argument("--bbox_file", default=None)
     p.add_argument("--max_people", type=int, default=8)
+    p.add_argument("--data_parallel", type=int, default=0, metavar="N",
+                   help="shard each crop batch over an N-device data mesh "
+                        "(live model only; max_people must divide by N)")
     p.add_argument("--every_n", type=int, default=1, help="process every Nth frame")
     p.add_argument("--fps", type=float, default=None,
                    help="SOURCE video fps (default: read from the file, "
