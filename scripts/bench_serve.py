@@ -1,0 +1,207 @@
+"""Load-benchmark the whmr-serve daemon: concurrent HTTP clients, real
+wire protocol, coalescing on.
+
+Usage:
+  python scripts/bench_serve.py [--clients N] [--seconds S] [--people K]
+                                [--max_people B] [--bundle DIR]
+                                [--checkpoint DIR] [--data_parallel N]
+                                [--tiny]
+
+Starts the daemon IN-PROCESS on an ephemeral port (the axon pool allows
+one TPU client process, so daemon and clients share this process), then
+hammers `POST /infer` from N client threads for S seconds, each request
+carrying an npz with a random image + K client-side bboxes (detector
+skipped — this measures the serving stack: HTTP, decode, crop prep,
+cross-request coalescing, device forward, npz response).
+
+Prints ONE JSON line: requests/s, person-crops/s, latency percentiles,
+and the coalescing ratio (device batches per request — lower is better).
+Weights are random unless --bundle/--checkpoint is given; throughput is
+weight-independent.
+
+Reference counterpart: none — the reference's only deployment story is
+the in-process demo loop (demo/whmr_demo.py:38-91); this measures the
+net-new serving surface end to end.
+"""
+
+import argparse
+import io
+import json
+import sys
+import threading
+import time
+import urllib.request
+
+
+def build_parser():
+    p = argparse.ArgumentParser()
+    p.add_argument("--clients", type=int, default=8)
+    p.add_argument("--seconds", type=float, default=20.0)
+    p.add_argument("--people", type=int, default=2,
+                   help="bboxes per request")
+    p.add_argument("--max_people", type=int, default=8,
+                   help="device batch capacity (coalescing target)")
+    p.add_argument("--bundle", default=None)
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--data_parallel", type=int, default=0)
+    p.add_argument("--no_coalesce", action="store_true")
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny model config (CPU smoke runs)")
+    p.add_argument("--cfg_file", default=None)
+    p.add_argument("--misc", nargs="*", default=[])
+    p.add_argument("--data_dir", default=None)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    from whmr_tpu.utils.profiling import enable_compile_cache
+
+    enable_compile_cache()
+    import numpy as np
+
+    from whmr_tpu.inference.pipeline import DemoPipeline
+    from whmr_tpu.inference.serve_cli import BatchingExecutor, WHMRServer
+
+    # -- build the pipeline (random init unless weights are given) -------
+    if args.tiny:
+        from whmr_tpu.data.assets import synthetic_smpl_assets
+        from whmr_tpu.utils.testing import tiny_config
+
+        cfg = tiny_config()
+        assets = synthetic_smpl_assets()
+    else:
+        from whmr_tpu.config import config_from_args
+        from whmr_tpu.data.assets import get_assets
+
+        cfg = config_from_args(args)
+        assets = get_assets(args.data_dir)
+
+    mesh = None
+    if args.data_parallel:
+        from whmr_tpu.parallel import make_mesh
+
+        mesh = make_mesh(args.data_parallel)
+
+    if args.bundle:
+        pipe = DemoPipeline(cfg, None, assets, max_people=args.max_people,
+                            use_camcalib=False, bundle=args.bundle)
+    else:
+        import jax
+        import jax.numpy as jnp
+
+        from whmr_tpu.models.regressor import body_consts_from_assets
+        from whmr_tpu.models.whmr import WHMR
+        from whmr_tpu.training.train_step import create_train_state
+        from whmr_tpu.utils.testing import make_example_inputs
+
+        consts = body_consts_from_assets(assets)
+        model = WHMR(cfg, dtype=jnp.bfloat16 if not args.tiny else None)
+        inputs = make_example_inputs(cfg, 2)
+        state = create_train_state(
+            cfg, model, consts, jax.random.PRNGKey(0),
+            {k: jnp.asarray(v) for k, v in inputs.items()},
+        )
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        if args.checkpoint:
+            from whmr_tpu.utils.checkpoint import CheckpointManager
+
+            payload = CheckpointManager(args.checkpoint).restore(
+                template={"params": state.params,
+                          "batch_stats": state.batch_stats})
+            if payload is not None:
+                variables = {"params": payload["params"],
+                             "batch_stats": payload["batch_stats"]}
+        pipe = DemoPipeline(cfg, variables, assets,
+                            max_people=args.max_people,
+                            use_camcalib=False, mesh=mesh)
+
+    executor = None
+    if not args.no_coalesce:
+        executor = BatchingExecutor(pipe, max_wait_ms=2.0)
+    server = WHMRServer(pipe, {"bench": True}, executor=executor)
+    httpd = server.bind("127.0.0.1", 0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+
+    # -- request body: npz with image + client bboxes --------------------
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 255, (480, 640, 3), np.uint8)
+    k = args.people
+    boxes = np.stack([
+        rng.uniform(120, 520, k), rng.uniform(120, 360, k),
+        rng.uniform(120, 240, k),
+    ], axis=-1).astype(np.float32)
+    buf = io.BytesIO()
+    np.savez(buf, image=img, bboxes=boxes)
+    body = buf.getvalue()
+    url = f"http://127.0.0.1:{port}/infer"
+
+    def post():
+        req = urllib.request.Request(url, data=body, method="POST")
+        with urllib.request.urlopen(req, timeout=600) as r:
+            return r.read()
+
+    post()  # warmup: compile before timing
+    print(f"[bench_serve] warm, starting {args.clients} clients x "
+          f"{args.seconds:.0f}s (people/request={k}, "
+          f"capacity={args.max_people})", file=sys.stderr, flush=True)
+
+    latencies = []
+    lat_lock = threading.Lock()
+    stop_at = time.perf_counter() + args.seconds
+    errors = [0]
+
+    def client():
+        local = []
+        while time.perf_counter() < stop_at:
+            t0 = time.perf_counter()
+            try:
+                post()
+            except Exception:
+                errors[0] += 1
+                continue
+            local.append(time.perf_counter() - t0)
+        with lat_lock:
+            latencies.extend(local)
+
+    threads = [threading.Thread(target=client) for _ in range(args.clients)]
+    t0 = time.perf_counter()
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    wall = time.perf_counter() - t0
+
+    httpd.shutdown()
+    httpd.server_close()
+    if executor is not None:
+        executor.shutdown()
+
+    lat = np.sort(np.asarray(latencies))
+    n = len(lat)
+    stats = dict(executor.stats) if executor is not None else {}
+    out = {
+        "metric": "serve_crops_per_sec",
+        "value": round(n * k / wall, 1),
+        "unit": "crops/s",
+        "requests_per_sec": round(n / wall, 1),
+        "clients": args.clients,
+        "people_per_request": k,
+        "latency_ms": {
+            "p50": round(float(lat[n // 2]) * 1e3, 1),
+            "p95": round(float(lat[int(n * 0.95)]) * 1e3, 1),
+            "p99": round(float(lat[min(int(n * 0.99), n - 1)]) * 1e3, 1),
+        } if n else None,
+        "errors": errors[0],
+        "device_batches_per_request": round(
+            stats["device_batches"] / max(stats["requests"], 1), 3
+        ) if stats else None,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

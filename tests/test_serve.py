@@ -485,3 +485,33 @@ class TestDataParallelServing:
         with pytest.raises(ValueError, match="single device"):
             DemoPipeline(cfg, None, assets, max_people=4,
                          use_camcalib=False, mesh=mesh, bundle="whatever")
+
+
+class TestWorkerResilience:
+    def test_worker_survives_collect_group_crash(self, server):
+        """An unexpected exception anywhere in the worker loop fails the
+        affected request but must NOT kill the worker thread (a dead
+        worker turns every later request into a timeout)."""
+        _url, pipe, ex = server
+        rng = np.random.RandomState(21)
+        img = rng.randint(0, 255, (64, 64, 3), np.uint8)
+        from whmr_tpu.inference.pipeline import Detection
+
+        dets = [Detection(32.0, 32.0, 40.0)]
+        orig = ex._collect_group
+        calls = {"n": 0}
+
+        def boom(first):
+            calls["n"] += 1
+            raise RuntimeError("injected worker crash")
+
+        ex._collect_group = boom
+        try:
+            with pytest.raises(RuntimeError, match="injected"):
+                ex.submit(img, dets=dets, timeout=60)
+        finally:
+            ex._collect_group = orig
+        assert calls["n"] == 1
+        assert ex._thread.is_alive()
+        out = ex.submit(img, dets=dets, timeout=120)  # still serving
+        assert out["n_people"] == 1

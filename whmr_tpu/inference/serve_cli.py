@@ -289,24 +289,30 @@ class BatchingExecutor:
 
     def _loop(self):
         while not self._stop.is_set():
-            if self._carry is not None:
-                first, self._carry = self._carry, None
-            else:
-                try:
-                    first = self.q.get(timeout=0.1)
-                except queue.Empty:
-                    continue
-            if first.cancelled:
-                first.event.set()
-                continue
-            group = self._collect_group(first)
+            group = None
             try:
+                if self._carry is not None:
+                    first, self._carry = self._carry, None
+                else:
+                    try:
+                        first = self.q.get(timeout=0.1)
+                    except queue.Empty:
+                        continue
+                if first.cancelled:
+                    first.event.set()
+                    continue
+                group = [first]
+                group = self._collect_group(first)
                 self._run_group(group)
-            except Exception as e:  # fail the whole group, keep serving
-                for r in group:
+            except Exception as e:
+                # Fail the affected requests but NEVER let the worker die:
+                # a dead worker silently turns every future request into a
+                # timeout (clients see 500s, /healthz executor_alive flips)
+                for r in group or []:
                     r.error = e
-            for r in group:
-                r.event.set()
+            finally:
+                for r in group or []:
+                    r.event.set()
 
 
 class WHMRServer:
@@ -339,12 +345,15 @@ class WHMRServer:
 
             def do_GET(self):  # noqa: N802
                 if self.path == "/healthz":
+                    ex = server.executor
                     self._json(200, {
                         "status": "ok",
                         "max_people": server.pipeline.max_people,
                         "camcalib": server.pipeline.use_camcalib,
                         "frozen": server.pipeline.model is None,
-                        "coalescing": server.executor is not None,
+                        "coalescing": ex is not None,
+                        "executor_alive": (ex._thread.is_alive()
+                                           if ex is not None else None),
                     })
                 elif self.path == "/meta":
                     self._json(200, server.meta)
