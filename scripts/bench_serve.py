@@ -44,6 +44,7 @@ def build_parser():
     p.add_argument("--bundle", default=None)
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--data_parallel", type=int, default=0)
+    p.add_argument("--tensor_parallel", type=int, default=0)
     p.add_argument("--no_coalesce", action="store_true")
     p.add_argument("--tiny", action="store_true",
                    help="tiny model config (CPU smoke runs)")
@@ -78,11 +79,9 @@ def main(argv=None):
         cfg = config_from_args(args)
         assets = get_assets(args.data_dir)
 
-    mesh = None
-    if args.data_parallel:
-        from whmr_tpu.parallel import make_mesh
+    from whmr_tpu.inference.demo_cli import serving_mesh
 
-        mesh = make_mesh(args.data_parallel)
+    mesh = serving_mesh(args)
 
     if args.bundle:
         pipe = DemoPipeline(cfg, None, assets, max_people=args.max_people,

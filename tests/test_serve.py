@@ -486,6 +486,38 @@ class TestDataParallelServing:
             DemoPipeline(cfg, None, assets, max_people=4,
                          use_camcalib=False, mesh=mesh, bundle="whatever")
 
+    def test_tp_matches_single_device(self, pipelines):
+        """--tensor_parallel: ViT block weights split over the 'model'
+        axis (Megatron rules); outputs must still match single-device."""
+        from whmr_tpu.data.assets import synthetic_smpl_assets
+        from whmr_tpu.inference.pipeline import DemoPipeline, Detection
+        from whmr_tpu.parallel import make_mesh
+
+        dp, single = pipelines
+        mesh = make_mesh(4, model_parallel=2)  # dp2 x tp2
+        tp = DemoPipeline(dp.cfg, single.variables, synthetic_smpl_assets(),
+                          max_people=2, use_camcalib=False, mesh=mesh)
+        rng = np.random.RandomState(17)
+        img = rng.randint(0, 255, (96, 128, 3), np.uint8)
+        dets = [Detection(40.0, 48.0, 60.0), Detection(90.0, 50.0, 70.0)]
+        a = tp.run_image(img, dets=dets)
+        b = single.run_image(img, dets=dets)
+        for k in ("verts", "verts_world", "pred_cam_t", "focal_length"):
+            np.testing.assert_allclose(a[k], b[k], rtol=5e-5, atol=5e-5)
+
+    def test_serving_mesh_resolution(self):
+        from argparse import Namespace
+
+        from whmr_tpu.inference.demo_cli import serving_mesh
+
+        assert serving_mesh(Namespace()) is None
+        m = serving_mesh(Namespace(data_parallel=2, tensor_parallel=2))
+        assert m.shape == {"data": 2, "model": 2}
+        m = serving_mesh(Namespace(data_parallel=0, tensor_parallel=2))
+        assert m.shape == {"data": 1, "model": 2}
+        m = serving_mesh(Namespace(data_parallel=4, tensor_parallel=0))
+        assert m.shape == {"data": 4, "model": 1}
+
 
 class TestWorkerResilience:
     def test_worker_survives_collect_group_crash(self, server):
@@ -515,3 +547,4 @@ class TestWorkerResilience:
         assert ex._thread.is_alive()
         out = ex.submit(img, dets=dets, timeout=120)  # still serving
         assert out["n_people"] == 1
+

@@ -23,6 +23,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--data_parallel", type=int, default=0, metavar="N",
                    help="shard each crop batch over an N-device data mesh "
                         "(live model only; max_people must divide by N)")
+    p.add_argument("--tensor_parallel", type=int, default=0, metavar="M",
+                   help="split ViT block weights over an M-device model "
+                        "axis (Megatron rules; latency scaling for "
+                        "ViT-L/H); composes with --data_parallel (dp*tp "
+                        "chips total)")
     p.add_argument("--no_render", action="store_true")
     p.add_argument("--save_obj", action="store_true")
     p.add_argument("--no_camcalib", action="store_true")
@@ -36,6 +41,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--misc", nargs="*", default=[],
                    help="dotted config overrides: key value [key value ...]")
     return p
+
+
+def serving_mesh(args):
+    """Resolve --data_parallel/--tensor_parallel into a ('data', 'model')
+    mesh, or None for the plain single-device path. dp×tp chips total:
+    batch rows spread over 'data', ViT block weights over 'model'."""
+    dp = getattr(args, "data_parallel", 0) or 0
+    tp = getattr(args, "tensor_parallel", 0) or 0
+    if not dp and not tp:
+        return None
+    from whmr_tpu.parallel import make_mesh
+
+    return make_mesh(max(dp, 1) * max(tp, 1), model_parallel=max(tp, 1))
 
 
 def build_pipeline(args):
@@ -56,10 +74,11 @@ def build_pipeline(args):
                 "--bundle already carries its weights; drop --checkpoint "
                 "(or drop --bundle to run the live model)"
             )
-        if getattr(args, "data_parallel", 0):
+        if getattr(args, "data_parallel", 0) or getattr(args, "tensor_parallel", 0):
             raise SystemExit(
-                "--data_parallel needs the live model (--checkpoint): an "
-                "exported bundle is traced for a single device"
+                "--data_parallel/--tensor_parallel need the live model "
+                "(--checkpoint): an exported bundle is traced for a "
+                "single device"
             )
         return DemoPipeline(
             cfg, None, assets,
@@ -102,11 +121,7 @@ def build_pipeline(args):
             raise SystemExit(f"no checkpoint in {args.checkpoint}")
         variables = {"params": payload["params"], "batch_stats": payload["batch_stats"]}
 
-    mesh = None
-    if getattr(args, "data_parallel", 0):
-        from whmr_tpu.parallel import make_mesh
-
-        mesh = make_mesh(args.data_parallel)
+    mesh = serving_mesh(args)
 
     return DemoPipeline(
         cfg, variables, assets,

@@ -199,13 +199,15 @@ class DemoPipeline:
         frozen AOT graph (ExportedWHMR) instead of building the live model;
         `variables` may be None in that mode (weights live in the bundle).
 
-        mesh: a `jax.sharding.Mesh` with a 'data' axis — the crop batch is
-        sharded over it (rows are independent, so N chips serve N× the
-        per-batch capacity; net-new vs the reference, whose demo is
-        single-GPU, demo/tester.py:151-162). Weights are replicated; the
-        CamCalib full frame (batch 1) is replicated too, so only the
-        per-crop work scales. Requires `max_people % data_axis == 0` and a
-        live model (exported bundles are traced for one device)."""
+        mesh: a `jax.sharding.Mesh` with ('data', 'model') axes — the crop
+        batch is sharded over 'data' (rows are independent, so N chips
+        serve N× the per-batch capacity; net-new vs the reference, whose
+        demo is single-GPU, demo/tester.py:151-162) and, when the 'model'
+        axis is >1, the ViT block weights split over it via the Megatron
+        TP rules (parallel/mesh.py — latency scaling for the L/H
+        variants). The CamCalib full frame (batch 1) is replicated.
+        Requires `max_people % data_axis == 0` and a live model (exported
+        bundles are traced for one device)."""
         import jax
         import jax.numpy as jnp
 
@@ -281,14 +283,22 @@ class DemoPipeline:
         else:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
+            from whmr_tpu.parallel import shard_params
+
             rep = NamedSharding(mesh, P())
             dp = NamedSharding(mesh, P("data"))
-            # params/consts replicated, crop batch row-sharded over 'data',
-            # CamCalib frame (batch 1) replicated — rows are independent in
-            # the forward, so outputs match the single-device graph
-            self._fwd = jax.jit(fwd, in_shardings=(rep, rep, dp, rep))
-            self.variables = jax.device_put(self.variables, rep)
+            # Crop batch row-sharded over 'data'; CamCalib frame (batch 1)
+            # and SMPL consts replicated. Weights go through the Megatron
+            # TP rules: with a >1 'model' axis the ViT qkv/proj/MLP split
+            # over it (GSPMD inserts the activation collectives), otherwise
+            # everything is replicated — either way rows are independent,
+            # so outputs match the single-device graph.
+            self.variables = shard_params(self.variables, mesh)
             self.consts = jax.device_put(self.consts, rep)
+            var_shardings = jax.tree_util.tree_map(
+                lambda x: x.sharding, self.variables
+            )
+            self._fwd = jax.jit(fwd, in_shardings=(var_shardings, rep, dp, rep))
 
     def _init_from_bundle(self, bundle: str) -> None:
         """Serve the demo from a whmr-export bundle: the frozen AOT graph

@@ -63,6 +63,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="shard each device batch over an N-device data "
                         "mesh (live --checkpoint only; coalesced batches "
                         "then span N chips, so raise --max_people to match)")
+    p.add_argument("--tensor_parallel", type=int, default=0, metavar="M",
+                   help="split ViT block weights over an M-device model "
+                        "axis (Megatron rules; latency scaling for "
+                        "ViT-L/H); composes with --data_parallel")
     p.add_argument("--no_camcalib", action="store_true")
     p.add_argument("--no_coalesce", action="store_true",
                    help="disable cross-request crop coalescing (one device "

@@ -92,6 +92,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--data_parallel", type=int, default=0, metavar="N",
                    help="shard each crop batch over an N-device data mesh "
                         "(live model only; max_people must divide by N)")
+    p.add_argument("--tensor_parallel", type=int, default=0, metavar="M",
+                   help="split ViT block weights over an M-device model "
+                        "axis (composes with --data_parallel)")
     p.add_argument("--every_n", type=int, default=1, help="process every Nth frame")
     p.add_argument("--fps", type=float, default=None,
                    help="SOURCE video fps (default: read from the file, "
