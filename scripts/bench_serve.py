@@ -48,6 +48,9 @@ def build_parser():
     p.add_argument("--no_coalesce", action="store_true")
     p.add_argument("--tiny", action="store_true",
                    help="tiny model config (CPU smoke runs)")
+    p.add_argument("--dtype", default="bf16", choices=["fp32", "bf16"],
+                   help="live-model compute dtype (default bf16, the "
+                        "headline bench's setting)")
     p.add_argument("--cfg_file", default=None)
     p.add_argument("--misc", nargs="*", default=[])
     p.add_argument("--data_dir", default=None)
@@ -67,54 +70,46 @@ def main(argv=None):
 
     # -- build the pipeline (random init unless weights are given) -------
     if args.tiny:
-        from whmr_tpu.data.assets import synthetic_smpl_assets
-        from whmr_tpu.utils.testing import tiny_config
-
-        cfg = tiny_config()
-        assets = synthetic_smpl_assets()
-    else:
-        from whmr_tpu.config import config_from_args
-        from whmr_tpu.data.assets import get_assets
-
-        cfg = config_from_args(args)
-        assets = get_assets(args.data_dir)
-
-    from whmr_tpu.inference.demo_cli import serving_mesh
-
-    mesh = serving_mesh(args)
-
-    if args.bundle:
-        pipe = DemoPipeline(cfg, None, assets, max_people=args.max_people,
-                            use_camcalib=False, bundle=args.bundle)
-    else:
+        # CPU smoke path: tiny dims, synthetic assets, fp32
         import jax
         import jax.numpy as jnp
 
+        from whmr_tpu.data.assets import synthetic_smpl_assets
+        from whmr_tpu.inference.demo_cli import serving_mesh
         from whmr_tpu.models.regressor import body_consts_from_assets
         from whmr_tpu.models.whmr import WHMR
         from whmr_tpu.training.train_step import create_train_state
-        from whmr_tpu.utils.testing import make_example_inputs
+        from whmr_tpu.utils.testing import make_example_inputs, tiny_config
 
+        cfg = tiny_config()
+        assets = synthetic_smpl_assets()
         consts = body_consts_from_assets(assets)
-        model = WHMR(cfg, dtype=jnp.bfloat16 if not args.tiny else None)
+        model = WHMR(cfg)
         inputs = make_example_inputs(cfg, 2)
         state = create_train_state(
             cfg, model, consts, jax.random.PRNGKey(0),
             {k: jnp.asarray(v) for k, v in inputs.items()},
         )
-        variables = {"params": state.params, "batch_stats": state.batch_stats}
-        if args.checkpoint:
-            from whmr_tpu.utils.checkpoint import CheckpointManager
+        pipe = DemoPipeline(
+            cfg, {"params": state.params, "batch_stats": state.batch_stats},
+            assets, max_people=args.max_people, use_camcalib=False,
+            mesh=serving_mesh(args),
+        )
+    else:
+        # the CLIs' canonical path (demo_cli.build_pipeline): same restore
+        # template, same mesh/dtype/bundle handling and guards
+        from argparse import Namespace
 
-            payload = CheckpointManager(args.checkpoint).restore(
-                template={"params": state.params,
-                          "batch_stats": state.batch_stats})
-            if payload is not None:
-                variables = {"params": payload["params"],
-                             "batch_stats": payload["batch_stats"]}
-        pipe = DemoPipeline(cfg, variables, assets,
-                            max_people=args.max_people,
-                            use_camcalib=False, mesh=mesh)
+        from whmr_tpu.inference.demo_cli import build_pipeline
+
+        pipe = build_pipeline(Namespace(
+            misc=args.misc, cfg_file=args.cfg_file, data_dir=args.data_dir,
+            checkpoint=args.checkpoint, bundle=args.bundle,
+            max_people=args.max_people, no_camcalib=True,
+            data_parallel=args.data_parallel,
+            tensor_parallel=args.tensor_parallel,
+            dtype=args.dtype,
+        ))
 
     executor = None
     if not args.no_coalesce:
@@ -128,10 +123,12 @@ def main(argv=None):
     # -- request body: npz with image + client bboxes --------------------
     rng = np.random.RandomState(0)
     img = rng.randint(0, 255, (480, 640, 3), np.uint8)
-    k = args.people
+    # the executor truncates per-request dets to capacity — count what the
+    # server actually computes, not what the client asked for
+    k = min(args.people, args.max_people)
     boxes = np.stack([
-        rng.uniform(120, 520, k), rng.uniform(120, 360, k),
-        rng.uniform(120, 240, k),
+        rng.uniform(120, 520, args.people), rng.uniform(120, 360, args.people),
+        rng.uniform(120, 240, args.people),
     ], axis=-1).astype(np.float32)
     buf = io.BytesIO()
     np.savez(buf, image=img, bboxes=boxes)
@@ -160,7 +157,8 @@ def main(argv=None):
             try:
                 post()
             except Exception:
-                errors[0] += 1
+                with lat_lock:
+                    errors[0] += 1
                 continue
             local.append(time.perf_counter() - t0)
         with lat_lock:

@@ -197,13 +197,13 @@ class TestCoalescing:
         # drain manually: the first group fills capacity 2 exactly (the
         # third request is never pulled, so it stays queued — not a carry)
         first = ex.q.get()
-        group = ex._collect_group(first)
+        group = [first]; ex._collect_group(group)
         assert len(group) == 2 and ex._carry is None
         assert ex.q.qsize() == 1
         ex._run_group(group)
         for r in group:
             r.event.set()
-        group2 = ex._collect_group(ex.q.get())
+        group2 = [ex.q.get()]; ex._collect_group(group2)
         assert len(group2) == 1
         ex._run_group(group2)
         for r in group2:
@@ -303,14 +303,14 @@ class TestCoalescing:
                 time.sleep(0.01)
 
         first = ex.q.get()
-        group = ex._collect_group(first)
+        group = [first]; ex._collect_group(group)
         # the 2-crop request does not fit next to the 1-crop one
         assert len(group) == 1 and ex._carry is not None
         ex._run_group(group)
         for r in group:
             r.event.set()
         carry, ex._carry = ex._carry, None
-        group2 = ex._collect_group(carry)
+        group2 = [carry]; ex._collect_group(group2)
         assert len(group2) == 1 and group2[0].n == 2
         ex._run_group(group2)
         for r in group2:
@@ -361,7 +361,7 @@ class TestCoalescing:
         # mimic the worker loop's skip
         first.event.set()
         nxt = ex.q.get()
-        group = ex._collect_group(nxt)
+        group = [nxt]; ex._collect_group(group)
         assert group == [nxt] and not nxt.cancelled
         ex._run_group(group)
         for r in group:
@@ -533,7 +533,7 @@ class TestWorkerResilience:
         orig = ex._collect_group
         calls = {"n": 0}
 
-        def boom(first):
+        def boom(group):
             calls["n"] += 1
             raise RuntimeError("injected worker crash")
 
@@ -548,3 +548,42 @@ class TestWorkerResilience:
         out = ex.submit(img, dets=dets, timeout=120)  # still serving
         assert out["n_people"] == 1
 
+
+    def test_mid_collection_crash_fails_all_dequeued(self, server):
+        """If _collect_group crashes AFTER dequeuing extra requests, every
+        dequeued request must get the error (in-place append contract) —
+        none may hang until its submit timeout."""
+        _url, pipe, ex = server
+        rng = np.random.RandomState(23)
+        img = rng.randint(0, 255, (64, 64, 3), np.uint8)
+        from whmr_tpu.inference.pipeline import Detection
+
+        dets = [Detection(32.0, 32.0, 40.0)]
+        orig = ex._collect_group
+
+        def boom(group):
+            # dequeue one more request into the group, then die
+            item = ex.q.get(timeout=30)
+            group.append(item)
+            raise RuntimeError("mid-collection crash")
+
+        ex._collect_group = boom
+        errs = []
+
+        def submit_one():
+            try:
+                ex.submit(img, dets=dets, timeout=60)
+            except Exception as e:
+                errs.append(e)
+
+        try:
+            t1 = threading.Thread(target=submit_one)
+            t2 = threading.Thread(target=submit_one)
+            t1.start(); t2.start()
+            t1.join(timeout=45); t2.join(timeout=45)
+            assert not t1.is_alive() and not t2.is_alive()
+            assert len(errs) == 2
+            assert all("mid-collection" in str(e) for e in errs)
+        finally:
+            ex._collect_group = orig
+        assert ex._thread.is_alive()

@@ -38,6 +38,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "polymorphic)")
     p.add_argument("--cfg_file", default=None,
                    help="reference-style YAML config (e.g. configs/vit-l.yaml)")
+    p.add_argument("--dtype", default="fp32", choices=["fp32", "bf16"],
+                   help="live-model compute dtype; fp32 matches the torch "
+                        "reference demo, bf16 is ~2x on TPU (the headline "
+                        "bench's setting). Bundles fix their dtype at "
+                        "export time")
     p.add_argument("--misc", nargs="*", default=[],
                    help="dotted config overrides: key value [key value ...]")
     return p
@@ -51,9 +56,18 @@ def serving_mesh(args):
     tp = getattr(args, "tensor_parallel", 0) or 0
     if not dp and not tp:
         return None
+    import jax
+
     from whmr_tpu.parallel import make_mesh
 
-    return make_mesh(max(dp, 1) * max(tp, 1), model_parallel=max(tp, 1))
+    need = max(dp, 1) * max(tp, 1)
+    have = len(jax.devices())
+    if need > have:
+        raise SystemExit(
+            f"--data_parallel {dp} x --tensor_parallel {tp} needs {need} "
+            f"devices, but only {have} are present"
+        )
+    return make_mesh(need, model_parallel=max(tp, 1))
 
 
 def build_pipeline(args):
@@ -79,6 +93,11 @@ def build_pipeline(args):
                 "--data_parallel/--tensor_parallel need the live model "
                 "(--checkpoint): an exported bundle is traced for a "
                 "single device"
+            )
+        if getattr(args, "dtype", "fp32") != "fp32":
+            raise SystemExit(
+                "--dtype applies to the live model; a bundle's compute "
+                "dtype (bf16) was fixed at export time"
             )
         return DemoPipeline(
             cfg, None, assets,
@@ -127,6 +146,7 @@ def build_pipeline(args):
         cfg, variables, assets,
         max_people=args.max_people,
         use_camcalib=not args.no_camcalib,
+        dtype=jnp.bfloat16 if getattr(args, "dtype", "fp32") == "bf16" else None,
         mesh=mesh,
     )
 

@@ -67,6 +67,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="split ViT block weights over an M-device model "
                         "axis (Megatron rules; latency scaling for "
                         "ViT-L/H); composes with --data_parallel")
+    p.add_argument("--dtype", default="fp32", choices=["fp32", "bf16"],
+                   help="live-model compute dtype (bf16 ~2x on TPU; "
+                        "bundles fix theirs at export)")
     p.add_argument("--no_camcalib", action="store_true")
     p.add_argument("--no_coalesce", action="store_true",
                    help="disable cross-request crop coalescing (one device "
@@ -229,12 +232,15 @@ class BatchingExecutor:
         self._stop.set()
 
     # -- worker side -----------------------------------------------------
-    def _collect_group(self, first):
-        """first + whatever else fits within capacity/max_wait."""
+    def _collect_group(self, group):
+        """Append to `group` (seeded with the first request) whatever else
+        fits within capacity/max_wait. Appends IN PLACE so that if this
+        raises mid-collection, the caller still sees every request it has
+        dequeued and can fail them — a request dropped here would leave
+        its client hanging for the full submit timeout."""
         import time
 
-        group = [first]
-        total = max(first.n, 1)
+        total = max(group[0].n, 1)
         deadline = time.monotonic() + self.max_wait
         while total < self.capacity:
             wait = deadline - time.monotonic()
@@ -250,7 +256,6 @@ class BatchingExecutor:
                 break
             group.append(item)
             total += max(item.n, 1)
-        return group
 
     def _run_group(self, group):
         import jax
@@ -306,7 +311,7 @@ class BatchingExecutor:
                     first.event.set()
                     continue
                 group = [first]
-                group = self._collect_group(first)
+                self._collect_group(group)
                 self._run_group(group)
             except Exception as e:
                 # Fail the affected requests but NEVER let the worker die:

@@ -95,6 +95,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tensor_parallel", type=int, default=0, metavar="M",
                    help="split ViT block weights over an M-device model "
                         "axis (composes with --data_parallel)")
+    p.add_argument("--dtype", default="fp32", choices=["fp32", "bf16"],
+                   help="live-model compute dtype (bf16 ~2x on TPU)")
     p.add_argument("--every_n", type=int, default=1, help="process every Nth frame")
     p.add_argument("--fps", type=float, default=None,
                    help="SOURCE video fps (default: read from the file, "
