@@ -219,3 +219,101 @@ class TestTPParity:
         np.testing.assert_allclose(
             float(m_dp["loss"]), float(m_tp["loss"]), rtol=1e-4
         )
+
+
+class TestGradAccum:
+    """train_step_accum: K sequential microbatches -> one optimizer step
+    (net-new; the reference has no equivalent)."""
+
+    def _setup(self, batch=4):
+        cfg = tiny_config()
+        model, state, consts, batch_data = setup_state(cfg, batch=batch)
+        # SGD instead of Adam for the equality tests: Adam's step-1 update
+        # is lr*sign(g) in the small-v limit, so 1e-9 reduction-order noise
+        # in a near-zero gradient flips the whole +-lr update; SGD is
+        # linear in g and compares cleanly.
+        import optax
+
+        tx = optax.sgd(1e-3)
+        state = state.replace(tx=tx, opt_state=tx.init(state.params))
+        return cfg, model, state, consts, batch_data
+
+    def test_accum_matches_manual_loop(self):
+        """The scan must equal the hand-rolled python loop: per-micro
+        grads with fold_in rng and chained BN stats, averaged, then one
+        apply_gradients."""
+        from whmr_tpu.training.train_step import (
+            _microbatch_grads,
+            train_step_accum,
+        )
+
+        cfg, model, state, consts, batch = self._setup(batch=4)
+        k = 2
+        micro = {key: v.reshape(k, 2, *v.shape[1:]) for key, v in batch.items()}
+        rng = jax.random.PRNGKey(3)
+
+        new_state, metrics = jax.jit(
+            lambda s, c, b, r: train_step_accum(cfg, model, s, c, b, r)
+        )(state, consts, micro, rng)
+
+        # manual reference
+        stats = state.batch_stats
+        gsum = None
+        lsum = None
+        for i in range(k):
+            mb = {key: v[i] for key, v in micro.items()}
+            grads, losses, stats = jax.jit(
+                lambda p, st, c, b, r: _microbatch_grads(cfg, model, p, st, c, b, r)
+            )(state.params, stats, consts, mb, jax.random.fold_in(rng, i))
+            gsum = grads if gsum is None else jax.tree.map(jnp.add, gsum, grads)
+            lsum = losses if lsum is None else jax.tree.map(jnp.add, lsum, losses)
+        grads = jax.tree.map(lambda g: g / k, gsum)
+        want_state = state.apply_gradients(grads, stats)
+
+        for a, b in zip(jax.tree.leaves(new_state.params),
+                        jax.tree.leaves(want_state.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
+        for a, b in zip(jax.tree.leaves(new_state.batch_stats),
+                        jax.tree.leaves(want_state.batch_stats)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(
+            float(metrics["loss"]), float(lsum["loss"]) / k, rtol=1e-5
+        )
+        assert int(new_state.step) == 1  # ONE optimizer step for K micros
+
+    def test_accum_sharded_matches_unsharded(self):
+        cfg, model, state, consts, batch = self._setup(batch=8)
+        k = 2
+        micro = {key: v.reshape(k, 4, *v.shape[1:]) for key, v in batch.items()}
+        rng = jax.random.PRNGKey(5)
+
+        plain_fn = make_jitted_train_step(cfg, model, donate=False, accum=k)
+        want, want_m = plain_fn(state, consts, micro, rng)
+
+        mesh = make_mesh(4, model_parallel=1)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sharded_state = state.replace(
+            params=shard_params(state.params, mesh),
+            batch_stats=shard_params(state.batch_stats, mesh),
+        )
+        fn = make_jitted_train_step(cfg, model, mesh=mesh, donate=False, accum=k)
+        micro_s = jax.device_put(micro, NamedSharding(mesh, P(None, "data")))
+        got, got_m = fn(sharded_state, consts, micro_s, rng)
+        np.testing.assert_allclose(float(got_m["loss"]), float(want_m["loss"]),
+                                   rtol=2e-5)
+        for a, b in zip(jax.tree.leaves(got.params),
+                        jax.tree.leaves(want.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-5)
+
+    def test_trainer_rejects_bad_divisor(self):
+        from whmr_tpu.training.trainer import Trainer
+        from dataclasses import replace
+
+        cfg = tiny_config()
+        cfg = replace(cfg, train=replace(cfg.train, grad_accum=3, batch_size=4))
+        with pytest.raises(ValueError, match="must divide"):
+            Trainer(cfg, log_dir="/tmp/_accum_reject_test")

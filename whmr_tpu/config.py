@@ -129,6 +129,11 @@ class TrainConfig:
     lr_gamma: float = 0.1
     lr_decay_epochs: Tuple[int, ...] = ()
     seed: int = 0
+    # Gradient accumulation: split each batch into K sequential
+    # microbatches per optimizer step (net-new vs the reference). Same
+    # mean-of-means convention as DDP across ranks; activation memory
+    # drops ~K× so bigger global batches fit one chip. batch_size % K == 0.
+    grad_accum: int = 1
     # Mixed precision: compute in bf16 on MXU, accumulate/params in fp32.
     use_bf16: bool = True
     # Flat-buffer fused Adam (training/optim.py): bit-equal to optax.adam.

@@ -34,6 +34,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fsdp", action="store_true",
                    help="ZeRO-3-style param/optimizer sharding over the data axis")
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute")
+    p.add_argument("--grad_accum", type=int, default=None, metavar="K",
+                   help="accumulate gradients over K sequential "
+                        "microbatches per optimizer step (batch_size % K "
+                        "== 0); ~K x less activation memory at the same "
+                        "effective batch")
     p.add_argument("--loader_procs", type=int, default=0,
                    help="fork-based loader worker processes (0 = GIL-bound "
                         "threads; use ~cores/8 per chip to keep the aux-on "
@@ -62,6 +67,8 @@ def main(argv=None):
     overrides = dict(zip(args.misc[::2], args.misc[1::2]))
     if args.batch_size:
         overrides["train.batch_size"] = args.batch_size
+    if args.grad_accum:
+        overrides["train.grad_accum"] = args.grad_accum
     if overrides:
         cfg = cfg.with_overrides(**overrides)
 

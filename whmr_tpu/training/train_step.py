@@ -115,16 +115,18 @@ def create_train_state(
     )
 
 
-def train_step(
+def _microbatch_grads(
     cfg: WHMRConfig,
     model: WHMR,
-    state: TrainState,
+    params,
+    batch_stats,
     consts: BodyConsts,
     batch: Dict[str, jnp.ndarray],
     rng: jax.Array,
     render_consts=None,
-) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
-    """One optimization step. Jit with cfg/model static (both hashable)."""
+):
+    """Gradients + losses + updated BN stats for one (micro)batch — the
+    shared body of train_step and the grad-accumulation scan."""
 
     # GT SMPL forward + multi-scale GT vertices (trainer.py:414-423).
     from whmr_tpu.ops.rotation import batch_rodrigues
@@ -176,7 +178,7 @@ def train_step(
             depth_gt = maps["depth_image_gt"]
 
     def loss_fn(params):
-        variables = {"params": params, "batch_stats": state.batch_stats}
+        variables = {"params": params, "batch_stats": batch_stats}
         preds, mutated = model.apply(
             variables,
             consts,
@@ -197,8 +199,25 @@ def train_step(
         )
         return losses["loss"], (losses, mutated["batch_stats"])
 
-    (loss, (losses, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-        state.params
+    (_, (losses, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        params
+    )
+    return grads, losses, new_stats
+
+
+def train_step(
+    cfg: WHMRConfig,
+    model: WHMR,
+    state: TrainState,
+    consts: BodyConsts,
+    batch: Dict[str, jnp.ndarray],
+    rng: jax.Array,
+    render_consts=None,
+) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+    """One optimization step. Jit with cfg/model static (both hashable)."""
+    grads, losses, new_stats = _microbatch_grads(
+        cfg, model, state.params, state.batch_stats, consts, batch, rng,
+        render_consts=render_consts,
     )
     new_state = state.apply_gradients(grads, new_stats)
     metrics = {k: v for k, v in losses.items()}
@@ -206,21 +225,86 @@ def train_step(
     return new_state, metrics
 
 
+def train_step_accum(
+    cfg: WHMRConfig,
+    model: WHMR,
+    state: TrainState,
+    consts: BodyConsts,
+    batches: Dict[str, jnp.ndarray],
+    rng: jax.Array,
+    render_consts=None,
+) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+    """Gradient accumulation: one optimizer step from K sequential
+    microbatches (net-new vs the reference, which has no equivalent).
+
+    `batches` leaves are shaped (K, micro, ...) — the trainer reshapes the
+    loader batch host-side so each microbatch keeps its 'data'-axis
+    sharding without an in-graph reshard. Gradients and loss metrics are
+    AVERAGED over the K microbatches — the same mean-of-per-group-means
+    convention the reference's DDP all-reduce applies across ranks
+    (trainer.py:614), so masked-mean losses weight each microbatch
+    equally regardless of its valid count. BatchNorm stats chain
+    sequentially (microbatch i+1 normalizes with stats updated by i);
+    activation memory per step drops ~K× while the effective batch stays
+    K·micro."""
+
+    def body(carry, xs):
+        stats, gsum, lsum = carry
+        mb, i = xs
+        grads, losses, new_stats = _microbatch_grads(
+            cfg, model, state.params, stats, consts, mb,
+            jax.random.fold_in(rng, i), render_consts=render_consts,
+        )
+        gsum = jax.tree_util.tree_map(jnp.add, gsum, grads)
+        lsum = jax.tree_util.tree_map(jnp.add, lsum, losses)
+        return (new_stats, gsum, lsum), None
+
+    accum = jax.tree_util.tree_leaves(batches)[0].shape[0]
+    zeros_g = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+    # loss dict structure is static: probe it with microbatch 0's shapes
+    zeros_l = jax.eval_shape(
+        lambda: _microbatch_grads(
+            cfg, model, state.params, state.batch_stats, consts,
+            jax.tree_util.tree_map(lambda v: v[0], batches), rng,
+            render_consts=render_consts,
+        )[1]
+    )
+    zeros_l = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), zeros_l
+    )
+    (new_stats, gsum, lsum), _ = jax.lax.scan(
+        body,
+        (state.batch_stats, zeros_g, zeros_l),
+        (batches, jnp.arange(accum)),
+    )
+    inv = 1.0 / accum
+    grads = jax.tree_util.tree_map(lambda g: g * inv, gsum)
+    new_state = state.apply_gradients(grads, new_stats)
+    metrics = {k: v * inv for k, v in lsum.items()}
+    metrics["grad_norm"] = optax.global_norm(grads)
+    return new_state, metrics
+
+
 def make_jitted_train_step(
-    cfg: WHMRConfig, model: WHMR, mesh=None, donate: bool = True, render_consts=None
+    cfg: WHMRConfig, model: WHMR, mesh=None, donate: bool = True,
+    render_consts=None, accum: int = 1,
 ):
     """Partial + jit with batch sharded over 'data' and state replicated/TP.
 
-    Returns fn(state, consts, batch, rng) -> (state, metrics).
+    Returns fn(state, consts, batch, rng) -> (state, metrics). With
+    accum > 1 the batch must arrive shaped (accum, micro, ...) and is
+    sharded over 'data' on the MICRO axis (see train_step_accum).
     """
-    step = functools.partial(train_step, cfg, model, render_consts=render_consts)
+    fn = train_step_accum if accum > 1 else train_step
+    step = functools.partial(fn, cfg, model, render_consts=render_consts)
     kwargs = {}
     if donate:
         kwargs["donate_argnums"] = (0,)
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        data = NamedSharding(mesh, P("data"))
+        spec = P(None, "data") if accum > 1 else P("data")
+        data = NamedSharding(mesh, spec)
         kwargs["in_shardings"] = (
             None,  # state: leave placement as-is (replicated or TP-sharded)
             None,  # consts

@@ -112,9 +112,23 @@ class Trainer:
                 self.state.opt_state, self.state.params, self.mesh
             )
         )
+        self.accum = max(int(cfg.train.grad_accum), 1)
+        if self.accum > 1:
+            if cfg.train.batch_size % self.accum:
+                raise ValueError(
+                    f"train.grad_accum={self.accum} must divide "
+                    f"train.batch_size={cfg.train.batch_size}"
+                )
+            micro = cfg.train.batch_size // self.accum
+            data_axis = self.mesh.shape.get("data", 1)
+            if micro % data_axis:
+                raise ValueError(
+                    f"microbatch size {micro} (batch_size/grad_accum) must "
+                    f"be divisible by the mesh data axis ({data_axis})"
+                )
         self.step_fn = make_jitted_train_step(
             cfg, self.model, mesh=self.mesh, donate=True,
-            render_consts=self.render_consts,
+            render_consts=self.render_consts, accum=self.accum,
         )
         self.ckpt = CheckpointManager(os.path.join(log_dir, "checkpoints"))
         self.metrics = MetricWriter(log_dir)
@@ -271,6 +285,20 @@ class Trainer:
         from whmr_tpu.data.loader import device_prefetch
 
         sharding = batch_sharding(self.mesh)
+        if self.accum > 1:
+            # (B, ...) -> (K, B/K, ...) host-side, 'data' axis on the micro
+            # dim — each microbatch keeps its mesh sharding with no
+            # in-graph reshard (see train_step_accum)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sharding = NamedSharding(self.mesh, P(None, "data"))
+            k = self.accum
+
+            def split(b):
+                return {
+                    key: v.reshape(k, v.shape[0] // k, *v.shape[1:])
+                    for key, v in b.items()
+                }
         last = {}
         # Mid-epoch resume: fast-forward past already-trained batches
         # (reference trainer.py:346 skip via checkpoint_batch_idx). Prefer
@@ -286,6 +314,8 @@ class Trainer:
                 import itertools
 
                 it = itertools.islice(it, start_batch, None)
+        if self.accum > 1:
+            it = (split(b) for b in it)
         # Keep 2 batches in flight on device: host augmentation overlaps
         # device compute (replaces DataLoader prefetch_factor, trainer.py:143).
         for i, batch in enumerate(
