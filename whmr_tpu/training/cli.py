@@ -22,6 +22,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--num_epochs", type=int, default=None)
     p.add_argument("--steps_per_epoch", type=int, default=None)
+    p.add_argument("--log_every", type=int, default=100,
+                   help="write a metrics.jsonl record every N steps")
     p.add_argument("--save_every", type=int, default=None,
                    help="also checkpoint every N batches (mid-epoch resume)")
     p.add_argument("--resume", action="store_true")
@@ -119,10 +121,14 @@ def main(argv=None):
         loader.set_epoch(epoch)
         return loader
 
+    # SIGTERM (cluster preemption) -> consistent mid-epoch checkpoint at
+    # the next batch boundary, exit 0; continue with --resume.
+    trainer.install_preemption_handler()
     trainer.fit(
         loader_factory,
         num_epochs=args.num_epochs,
         steps_per_epoch=args.steps_per_epoch,
+        log_every=args.log_every,
         save_every=args.save_every,
     )
     print(f"done at step {int(trainer.state.step)}; logs in {log_dir}")

@@ -143,6 +143,23 @@ class Trainer:
         # trainer.py:346: `checkpoint_batch_idx` skips already-seen batches).
         self.batch_idx = 0
         self.rng = jax.random.PRNGKey(seed + 1)
+        # Preemption flag: set by install_preemption_handler's SIGTERM
+        # handler; train_epoch checkpoints and exits at the next batch
+        # boundary (net-new — the reference loses mid-epoch work on
+        # preemption, recovery is manual --resume, base_trainer.py:35-48).
+        self._preempted = False
+
+    def install_preemption_handler(self, signals=None) -> None:
+        """SIGTERM (the cluster-preemption signal) → save a mid-epoch
+        checkpoint at the next batch boundary, then exit 0. The handler
+        only sets a flag: the actual save runs in the training loop, so
+        the in-flight jitted step finishes and the checkpoint is
+        consistent. `whmr-train --resume` then continues at the exact
+        batch where preemption hit."""
+        import signal as _signal
+
+        for sig in signals or (_signal.SIGTERM,):
+            _signal.signal(sig, lambda *_: setattr(self, "_preempted", True))
 
     # -- checkpoint lifecycle (reference base_trainer.py:35-48) --------------
     def resume(self) -> bool:
@@ -336,6 +353,16 @@ class Trainer:
             if save_every and (i + 1) % save_every == 0:
                 # async disk write: training resumes after the host snapshot
                 self.save(batch_idx=i + 1, block=False)
+            if self._preempted:
+                self.batch_idx = i + 1
+                self.save(batch_idx=i + 1, block=True)
+                self.ckpt.wait_until_finished()
+                print(
+                    f"[trainer] preempted: checkpoint saved at step "
+                    f"{int(self.state.step)} (epoch {self.epoch}, batch "
+                    f"{i + 1}); resume with --resume", flush=True,
+                )
+                raise SystemExit(0)
         return last
 
     def make_validate_fn(self, val_loader_factory, gendered_smpl=None):
