@@ -587,3 +587,80 @@ class TestWorkerResilience:
         finally:
             ex._collect_group = orig
         assert ex._thread.is_alive()
+
+
+class TestReload:
+    def test_reload_swaps_weights_and_bundle_rejects(self, server):
+        """POST /reload: the daemon atomically swaps to a new pipeline;
+        a frozen-bundle daemon answers 409."""
+        import jax
+        import jax.numpy as jnp
+
+        from whmr_tpu.data.assets import synthetic_smpl_assets
+        from whmr_tpu.inference.pipeline import DemoPipeline, Detection
+        from whmr_tpu.inference.serve_cli import WHMRServer
+        from whmr_tpu.models.regressor import body_consts_from_assets
+        from whmr_tpu.models.whmr import WHMR
+        from whmr_tpu.training.train_step import create_train_state
+
+        cfg = tiny_config()
+        assets = synthetic_smpl_assets()
+        consts = body_consts_from_assets(assets)
+        model = WHMR(cfg)
+        inputs = make_example_inputs(cfg, 2)
+
+        def pipe_for(seed):
+            state = create_train_state(
+                cfg, model, consts, jax.random.PRNGKey(seed),
+                {k: jnp.asarray(v) for k, v in inputs.items()},
+            )
+            return DemoPipeline(
+                cfg,
+                {"params": state.params, "batch_stats": state.batch_stats},
+                assets, max_people=2, use_camcalib=False,
+            )
+
+        pipe_a, pipe_b = pipe_for(0), pipe_for(99)
+        srv = WHMRServer(pipe_a, {}, executor=None,
+                         reload_fn=lambda ck: pipe_b)
+        httpd = srv.bind("127.0.0.1", 0)
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        base = f"http://127.0.0.1:{httpd.server_address[1]}"
+        try:
+            rng = np.random.RandomState(9)
+            img = rng.randint(0, 255, (80, 80, 3), np.uint8)
+            buf = io.BytesIO()
+            np.savez(buf, image=img,
+                     bboxes=np.array([[40.0, 40.0, 60.0]], np.float32))
+            body = buf.getvalue()
+
+            before = np.load(io.BytesIO(_post(base + "/infer", body)[2]))
+            r = json.loads(_post(base + "/reload", b"")[2])
+            assert r["status"] == "reloaded" and r["reloads"] == 1
+            after = np.load(io.BytesIO(_post(base + "/infer", body)[2]))
+            # different weights -> different predictions
+            assert not np.allclose(before["verts"], after["verts"])
+            # and the post-reload daemon serves pipe_b's exact outputs
+            want = pipe_b.run_image(
+                img, dets=[Detection(40.0, 40.0, 60.0)])
+            np.testing.assert_allclose(after["verts"], want["verts"],
+                                       rtol=1e-5, atol=1e-5)
+            h = json.loads(urllib.request.urlopen(base + "/healthz").read())
+            assert h["reloads"] == 1
+        finally:
+            httpd.shutdown()
+            httpd.server_close()
+
+        # frozen-bundle daemon (module fixture): reload must 409
+        url_bundle, _pipe, _ex = server
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(url_bundle + "/reload", b"")
+        assert e.value.code == 409
+        assert "frozen bundle" in json.loads(e.value.read())["error"]
+
+    def test_reload_bad_json_is_400(self, server):
+        url_bundle, _pipe, _ex = server
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(url_bundle + "/reload", b"{not json")
+        assert e.value.code == 400

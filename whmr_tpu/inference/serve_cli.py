@@ -33,6 +33,13 @@ Scale-out: `--data_parallel N` (live --checkpoint mode) shards every
 device batch over an N-chip 'data' mesh — coalesced crops from all
 clients spread across chips while weights stay replicated, so capacity
 scales with N at unchanged per-request semantics.
+
+Warm weight swap: `POST /reload` (optional json body
+{"checkpoint": dir}; default re-reads the configured dir's latest save)
+rebuilds the pipeline and atomically repoints the daemon — in-flight
+requests finish on the old weights, later ones use the new; no restart,
+no dropped requests. Frozen-bundle daemons answer 409 (bundles are
+immutable artifacts).
 """
 
 from __future__ import annotations
@@ -328,13 +335,20 @@ class WHMRServer:
     """The pipeline + an http.server around it. `serve_forever()` blocks;
     tests drive `httpd.serve_forever` in a thread and call `shutdown()`."""
 
-    def __init__(self, pipeline, meta: dict, executor: "BatchingExecutor" = None):
+    def __init__(self, pipeline, meta: dict, executor: "BatchingExecutor" = None,
+                 reload_fn=None):
+        """reload_fn(checkpoint_or_None) -> new DemoPipeline: enables
+        POST /reload (warm weight swap without downtime); None disables
+        the endpoint (frozen bundles are immutable artifacts)."""
         from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
         self.pipeline = pipeline
         self.meta = meta
         self.executor = executor
+        self.reload_fn = reload_fn
+        self.reloads = 0
         self._device_lock = threading.Lock()
+        self._reload_lock = threading.Lock()
         server = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -363,6 +377,7 @@ class WHMRServer:
                         "coalescing": ex is not None,
                         "executor_alive": (ex._thread.is_alive()
                                            if ex is not None else None),
+                        "reloads": server.reloads,
                     })
                 elif self.path == "/meta":
                     self._json(200, server.meta)
@@ -374,6 +389,25 @@ class WHMRServer:
                     self._json(404, {"error": f"unknown path {self.path}"})
 
             def do_POST(self):  # noqa: N802
+                if self.path == "/reload":
+                    length = int(self.headers.get("Content-Length", 0))
+                    body = self.rfile.read(length)
+                    try:
+                        ckpt = (json.loads(body).get("checkpoint")
+                                if body else None)
+                    except json.JSONDecodeError as e:
+                        self._json(400, {"error": f"bad /reload body: {e}"})
+                        return
+                    try:
+                        info = server.reload(ckpt)
+                    except _ReloadUnsupported as e:
+                        self._json(409, {"error": str(e)})
+                        return
+                    except Exception as e:
+                        self._json(500, {"error": f"{type(e).__name__}: {e}"})
+                        return
+                    self._json(200, info)
+                    return
                 if not self.path.startswith("/infer"):
                     self._json(404, {"error": f"unknown path {self.path}"})
                     return
@@ -407,6 +441,34 @@ class WHMRServer:
         self.httpd = self._server_cls((host, port), self.handler_cls)
         return self.httpd
 
+    def reload(self, checkpoint: str = None) -> dict:
+        """Warm weight swap: rebuild the pipeline from `checkpoint` (None
+        = re-read the configured checkpoint dir, picking up its latest
+        save) and atomically point the server and the coalescing executor
+        at it. In-flight requests finish on the old weights; subsequent
+        batches use the new ones — no restart, no dropped requests. The
+        jit cache makes the rebuild cheap (same graph, new constants)."""
+        if self.reload_fn is None:
+            raise _ReloadUnsupported(
+                "reload unavailable: daemon is serving a frozen bundle "
+                "(immutable artifact) — restart with a new bundle instead"
+            )
+        with self._reload_lock:  # serialize concurrent reloads
+            new_pipe = self.reload_fn(checkpoint)
+            self.pipeline = new_pipe
+            if self.executor is not None:
+                self.executor.pipeline = new_pipe
+            self.reloads += 1
+            return {
+                "status": "reloaded",
+                "checkpoint": checkpoint or "(configured dir, latest)",
+                "reloads": self.reloads,
+            }
+
+
+class _ReloadUnsupported(RuntimeError):
+    pass
+
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
@@ -422,8 +484,18 @@ def main(argv=None):
     from whmr_tpu.inference.detector import build_detector
 
     kind = detector_kind(args)
-    pipeline = build_pipeline(args)
-    pipeline.detector = build_detector(kind, None, pipeline=pipeline)
+
+    def make_pipeline(checkpoint=None):
+        import copy
+
+        a = copy.copy(args)
+        if checkpoint is not None:
+            a.checkpoint = checkpoint
+        p = build_pipeline(a)
+        p.detector = build_detector(kind, None, pipeline=p)
+        return p
+
+    pipeline = make_pipeline()
 
     meta = dict(getattr(getattr(pipeline, "_served", None), "meta", None)
                 or {"source": "live checkpoint",
@@ -444,7 +516,10 @@ def main(argv=None):
         else:
             pipeline.run_image(dummy, dets=dets)
         print("[serve] warmup compile done", flush=True)
-    server = WHMRServer(pipeline, meta, executor=executor)
+    server = WHMRServer(
+        pipeline, meta, executor=executor,
+        reload_fn=make_pipeline if args.checkpoint else None,
+    )
     httpd = server.bind(args.host, args.port)
     print(f"[serve] WHMR listening on http://{args.host}:{httpd.server_address[1]} "
           f"(detector={kind}, max_people={args.max_people}, "
