@@ -664,3 +664,52 @@ class TestReload:
         with pytest.raises(urllib.error.HTTPError) as e:
             _post(url_bundle + "/reload", b"{not json")
         assert e.value.code == 400
+
+
+class TestGracefulDrain:
+    def test_server_close_waits_for_inflight_request(self, server):
+        """shutdown() + server_close() must let an in-flight request
+        finish (DrainingHTTPServer joins handler threads) — the SIGTERM
+        drain contract of serve_cli.main."""
+        import time
+
+        from whmr_tpu.inference.serve_cli import WHMRServer
+
+        _url, pipe, ex = server
+        srv = WHMRServer(pipe, {}, executor=None)
+        httpd = srv.bind("127.0.0.1", 0)
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        base = f"http://127.0.0.1:{httpd.server_address[1]}"
+
+        orig = pipe.run_image
+        release = threading.Event()
+
+        def slow_run_image(*a, **kw):
+            release.wait(30)  # hold the handler in flight
+            return orig(*a, **kw)
+
+        rng = np.random.RandomState(31)
+        img = rng.randint(0, 255, (64, 64, 3), np.uint8)
+        buf = io.BytesIO()
+        np.savez(buf, image=img,
+                 bboxes=np.array([[32.0, 32.0, 40.0]], np.float32))
+        results = {}
+
+        def client():
+            results["resp"] = _post(base + "/infer", buf.getvalue())
+
+        pipe.run_image = slow_run_image
+        try:
+            ct = threading.Thread(target=client)
+            ct.start()
+            time.sleep(0.5)  # let the request reach the handler
+            httpd.shutdown()  # stop accepting
+            release.set()     # unblock the in-flight handler
+            t0 = time.monotonic()
+            httpd.server_close()  # must JOIN the handler thread
+            ct.join(timeout=30)
+            assert not ct.is_alive()
+            assert results["resp"][0] == 200  # request completed, not dropped
+        finally:
+            pipe.run_image = orig

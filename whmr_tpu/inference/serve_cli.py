@@ -435,7 +435,14 @@ class WHMRServer:
 
         self.handler_cls = Handler
         self.httpd = None
-        self._server_cls = ThreadingHTTPServer
+        class DrainingHTTPServer(ThreadingHTTPServer):
+            # non-daemon handler threads + block_on_close: server_close()
+            # then WAITS for in-flight requests — the graceful-drain
+            # contract of main()'s SIGTERM handler
+            daemon_threads = False
+            block_on_close = True
+
+        self._server_cls = DrainingHTTPServer
 
     def bind(self, host: str, port: int):
         self.httpd = self._server_cls((host, port), self.handler_cls)
@@ -525,12 +532,25 @@ def main(argv=None):
           f"(detector={kind}, max_people={args.max_people}, "
           f"frozen={pipeline.model is None}, "
           f"coalescing={executor is not None})", flush=True)
+    # SIGTERM (orchestrator shutdown) -> graceful drain: stop accepting,
+    # finish in-flight requests (DrainingHTTPServer joins handler threads
+    # in server_close), exit 0 — no client sees a dropped connection.
+    import signal as _signal
+
+    def _term(*_):
+        print("[serve] SIGTERM: draining in-flight requests", flush=True)
+        threading.Thread(target=httpd.shutdown, daemon=True).start()
+
+    _signal.signal(_signal.SIGTERM, _term)
     try:
         httpd.serve_forever()
     except KeyboardInterrupt:
         pass
     finally:
         httpd.server_close()
+        if executor is not None:
+            executor.shutdown()
+        print("[serve] drained, exiting", flush=True)
 
 
 if __name__ == "__main__":
