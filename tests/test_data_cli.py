@@ -1,0 +1,111 @@
+"""whmr-data CLI: npz schema validation + coco conversion entry."""
+
+import numpy as np
+import pytest
+
+from whmr_tpu.data.data_cli import check_npz, main
+
+
+def good_npz(path, n=8, **extra):
+    rng = np.random.RandomState(0)
+    fields = dict(
+        imgname=np.array([f"im_{i}.png" for i in range(n)]),
+        center=rng.uniform(100, 300, (n, 2)).astype(np.float32),
+        scale=rng.uniform(0.8, 1.5, (n,)).astype(np.float32),
+        pose=(rng.randn(n, 72) * 0.2).astype(np.float32),
+        shape=(rng.randn(n, 10) * 0.3).astype(np.float32),
+        has_smpl=np.ones(n, np.float32),
+        part=np.concatenate(
+            [rng.uniform(0, 400, (n, 24, 2)), np.ones((n, 24, 1))], -1
+        ).astype(np.float32),
+    )
+    fields.update(extra)
+    np.savez(path, **fields)
+    return path
+
+
+@pytest.mark.smoke
+class TestCheck:
+    def test_valid_file_passes(self, tmp_path):
+        p = good_npz(tmp_path / "ok.npz")
+        errors, warnings = check_npz(str(p), train=True)
+        assert errors == []
+
+    def test_missing_required_and_bad_shape(self, tmp_path):
+        rng = np.random.RandomState(0)
+        np.savez(tmp_path / "bad.npz",
+                 imgname=np.array(["a.png", "b.png"]),
+                 center=rng.randn(2, 3).astype(np.float32))  # wrong tail
+        errors, _ = check_npz(str(tmp_path / "bad.npz"))
+        assert any("'scale'" in e for e in errors)
+        assert any("center" in e and "shape" in e for e in errors)
+
+    def test_value_checks(self, tmp_path):
+        n = 4
+        p = good_npz(
+            tmp_path / "vals.npz", n=n,
+            scale=np.zeros(n, np.float32),              # not positive
+            has_smpl=np.full(n, 0.5, np.float32),       # not binary
+            part=np.concatenate(
+                [np.zeros((n, 24, 2)), np.full((n, 24, 1), 2.0)], -1
+            ).astype(np.float32),                       # conf > 1
+            cam_rotmat=np.zeros((n, 3, 3), np.float32),  # not orthonormal
+        )
+        errors, _ = check_npz(str(p))
+        text = "\n".join(errors)
+        assert "scale" in text and "has_smpl" in text
+        assert "part" in text and "cam_rotmat" in text
+
+    def test_nan_detected_and_unknown_warns(self, tmp_path):
+        n = 4
+        pose = (np.random.RandomState(1).randn(n, 72)).astype(np.float32)
+        pose[1, 3] = np.nan
+        p = good_npz(tmp_path / "nan.npz", n=n, pose=pose,
+                     mystery=np.zeros(n, np.float32))
+        errors, warnings = check_npz(str(p), train=True)
+        assert any("pose" in e and "non-finite" in e for e in errors)
+        assert any("mystery" in w for w in warnings)
+
+    def test_img_dir_check(self, tmp_path):
+        import cv2
+
+        img_dir = tmp_path / "imgs"
+        img_dir.mkdir()
+        n = 4
+        for i in range(n - 1):  # one image deliberately missing
+            cv2.imwrite(str(img_dir / f"im_{i}.png"),
+                        np.zeros((32, 32, 3), np.uint8))
+        p = good_npz(tmp_path / "imgs.npz", n=n)
+        errors, _ = check_npz(str(p), img_dir=str(img_dir), sample=0)
+        assert any("missing" in e for e in errors)
+
+    def test_cli_exit_codes(self, tmp_path):
+        p = good_npz(tmp_path / "ok.npz")
+        with pytest.raises(SystemExit) as e:
+            main(["check", str(p)])
+        assert e.value.code == 0
+        np.savez(tmp_path / "bad.npz", imgname=np.array(["x.png"]))
+        with pytest.raises(SystemExit) as e:
+            main(["check", str(tmp_path / "bad.npz")])
+        assert e.value.code == 1
+
+    def test_validated_file_actually_loads(self, tmp_path):
+        """The contract: check says OK -> NpzDataset can consume it."""
+        from whmr_tpu.data.npz_dataset import NpzDataset
+        from whmr_tpu.utils.testing import tiny_config
+
+        import cv2
+
+        img_dir = tmp_path / "imgs"
+        img_dir.mkdir()
+        n = 4
+        for i in range(n):
+            cv2.imwrite(str(img_dir / f"im_{i}.png"),
+                        np.random.RandomState(i).randint(
+                            0, 255, (240, 320, 3)).astype(np.uint8))
+        p = good_npz(tmp_path / "ok.npz", n=n)
+        errors, _ = check_npz(str(p), img_dir=str(img_dir), train=True)
+        assert errors == []
+        ds = NpzDataset(tiny_config(), str(p), str(img_dir), is_train=True)
+        item = ds[0]
+        assert np.isfinite(item["img"]).all()
