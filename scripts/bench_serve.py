@@ -48,9 +48,10 @@ def build_parser():
     p.add_argument("--no_coalesce", action="store_true")
     p.add_argument("--tiny", action="store_true",
                    help="tiny model config (CPU smoke runs)")
-    p.add_argument("--dtype", default="bf16", choices=["fp32", "bf16"],
+    p.add_argument("--dtype", default=None, choices=["fp32", "bf16"],
                    help="live-model compute dtype (default bf16, the "
-                        "headline bench's setting)")
+                        "headline bench's setting; bundles fix theirs at "
+                        "export, so the flag is live-mode only)")
     p.add_argument("--cfg_file", default=None)
     p.add_argument("--misc", nargs="*", default=[])
     p.add_argument("--data_dir", default=None)
@@ -108,7 +109,10 @@ def main(argv=None):
             max_people=args.max_people, no_camcalib=True,
             data_parallel=args.data_parallel,
             tensor_parallel=args.tensor_parallel,
-            dtype=args.dtype,
+            # bf16 for the live model (the headline bench's setting);
+            # bundles fixed their dtype at export, so pass the neutral
+            # fp32 there or build_pipeline's guard would reject the run
+            dtype=args.dtype or ("fp32" if args.bundle else "bf16"),
         ))
 
     executor = None

@@ -109,3 +109,16 @@ class TestCheck:
         ds = NpzDataset(tiny_config(), str(p), str(img_dir), is_train=True)
         item = ds[0]
         assert np.isfinite(item["img"]).all()
+
+
+@pytest.mark.smoke
+class TestEmptyFile:
+    def test_zero_sample_file_is_invalid_not_crash(self, tmp_path):
+        np.savez(tmp_path / "empty.npz",
+                 imgname=np.array([], dtype=str),
+                 center=np.zeros((0, 2), np.float32),
+                 scale=np.zeros((0,), np.float32),
+                 part=np.zeros((0, 24, 3), np.float32),
+                 cam_rotmat=np.zeros((0, 3, 3), np.float32))
+        errors, _ = check_npz(str(tmp_path / "empty.npz"))
+        assert any("0 samples" in e for e in errors)

@@ -128,3 +128,40 @@ class TestPreemption:
         )
         assert out2.returncode == 0, out2.stdout[-3000:]
         assert "resumed from step" in out2.stdout, out2.stdout[-3000:]
+
+
+class TestPreemptOnSaveBoundary:
+    def test_no_double_save_when_periodic_save_hit_same_step(self, tmp_path):
+        """SIGTERM landing on a --save_every boundary must not save the
+        same orbax step twice (StepAlreadyExistsError would turn the
+        documented exit-0 into a crash)."""
+        import jax
+        import numpy as np
+
+        from whmr_tpu.training.trainer import Trainer
+        from whmr_tpu.utils.testing import make_example_train_batch, tiny_config
+
+        cfg = tiny_config()
+        from dataclasses import replace
+
+        cfg = replace(cfg, train=replace(cfg.train, batch_size=8),
+                      pymaf=replace(cfg.pymaf, aux_supv_on=False))
+        tr = Trainer(cfg, log_dir=str(tmp_path / "run"), aux_rendering=False)
+
+        batch = make_example_train_batch(cfg, 8)
+
+        def loader():
+            while True:
+                yield {k: np.asarray(v) for k, v in batch.items()}
+
+        # preempt DURING the first batch: flag set before the loop checks
+        tr._preempted = True
+        with pytest.raises(SystemExit) as e:
+            tr.train_epoch(loader(), log_every=0, save_every=1)
+        assert e.value.code == 0
+        # exactly one checkpoint step written, loadable
+        assert tr.ckpt.restore(template={
+            "params": tr.state.params, "batch_stats": tr.state.batch_stats,
+            "opt_state": tr.state.opt_state,
+            "step": np.zeros((), np.int32), "epoch": 0, "batch_idx": 0,
+        }) is not None

@@ -713,3 +713,10 @@ class TestGracefulDrain:
             assert results["resp"][0] == 200  # request completed, not dropped
         finally:
             pipe.run_image = orig
+
+    def test_reload_non_object_json_is_400(self, server):
+        url_bundle, _pipe, _ex = server
+        for body in (b"123", b"[1, 2]", b'"str"'):
+            with pytest.raises(urllib.error.HTTPError) as e:
+                _post(url_bundle + "/reload", body)
+            assert e.value.code == 400, body

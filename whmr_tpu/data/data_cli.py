@@ -87,6 +87,13 @@ def check_npz(npz_path, img_dir=None, sample=16, train=False,
         err("missing required field 'imgname'")
         return errors, warnings
     n = len(data["imgname"])
+    if n == 0:
+        # whmr-data coco on a json with no qualifying persons produces
+        # exactly this — fail loudly rather than crash on empty reductions
+        err("0 samples (empty 'imgname')")
+        print(f"{npz_path}: 0 samples\n  ERROR: {errors[0]}\n  -> INVALID",
+              file=out)
+        return errors, warnings
 
     for field, (tail, required, vcheck) in _SCHEMA.items():
         if field not in keys:
@@ -103,8 +110,7 @@ def check_npz(npz_path, img_dir=None, sample=16, train=False,
         try:
             vals = arr.astype(np.float64)
         except (TypeError, ValueError):
-            if vcheck is not None and field != "imgname":
-                err(f"'{field}' dtype {arr.dtype} is not numeric")
+            err(f"'{field}' dtype {arr.dtype} is not numeric")
             continue
         if not np.isfinite(vals).all():
             err(f"'{field}' contains non-finite values "
@@ -189,7 +195,11 @@ def main(argv=None):
 
         out = coco_to_npz(args.annotation_json, args.out_npz,
                           min_keypoints=args.min_keypoints)
-        print(f"wrote {args.out_npz}: {len(out['imgname'])} persons")
+        n = len(out["imgname"])
+        print(f"wrote {args.out_npz}: {n} persons")
+        if n == 0:
+            print("WARNING: no persons passed the min_keypoints filter — "
+                  "the file is empty and will not validate", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -393,9 +393,14 @@ class WHMRServer:
                     length = int(self.headers.get("Content-Length", 0))
                     body = self.rfile.read(length)
                     try:
-                        ckpt = (json.loads(body).get("checkpoint")
-                                if body else None)
-                    except json.JSONDecodeError as e:
+                        parsed = json.loads(body) if body else {}
+                        if not isinstance(parsed, dict):
+                            raise ValueError(
+                                f"expected a json object, got "
+                                f"{type(parsed).__name__}"
+                            )
+                        ckpt = parsed.get("checkpoint")
+                    except (json.JSONDecodeError, ValueError) as e:
                         self._json(400, {"error": f"bad /reload body: {e}"})
                         return
                     try:
@@ -451,10 +456,13 @@ class WHMRServer:
     def reload(self, checkpoint: str = None) -> dict:
         """Warm weight swap: rebuild the pipeline from `checkpoint` (None
         = re-read the configured checkpoint dir, picking up its latest
-        save) and atomically point the server and the coalescing executor
-        at it. In-flight requests finish on the old weights; subsequent
-        batches use the new ones — no restart, no dropped requests. The
-        jit cache makes the rebuild cheap (same graph, new constants)."""
+        save), COMPILE it with a dummy forward, then atomically point the
+        server and the coalescing executor at it. In-flight requests
+        finish on the old weights; subsequent batches use the new ones.
+        The pre-swap warmup matters: the rebuilt pipeline is a fresh jit
+        closure, and on remote-compile transports its first call can take
+        minutes — warming before the swap keeps live traffic on the old
+        weights until the new graph is actually ready."""
         if self.reload_fn is None:
             raise _ReloadUnsupported(
                 "reload unavailable: daemon is serving a frozen bundle "
@@ -462,6 +470,7 @@ class WHMRServer:
             )
         with self._reload_lock:  # serialize concurrent reloads
             new_pipe = self.reload_fn(checkpoint)
+            _warmup_pipeline(new_pipe)
             self.pipeline = new_pipe
             if self.executor is not None:
                 self.executor.pipeline = new_pipe
@@ -477,6 +486,19 @@ class _ReloadUnsupported(RuntimeError):
     pass
 
 
+def _warmup_pipeline(pipeline) -> None:
+    """Compile a pipeline's forward with a dummy single-detection image
+    (used by --warmup at startup and by /reload before the swap)."""
+    import numpy as np
+
+    from whmr_tpu.inference.pipeline import Detection
+
+    pipeline.run_image(
+        np.zeros((64, 64, 3), np.uint8),
+        dets=[Detection(32.0, 32.0, 48.0)],
+    )
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
     if not args.bundle and not args.checkpoint:
@@ -489,6 +511,11 @@ def main(argv=None):
 
     from whmr_tpu.inference.demo_cli import build_pipeline, detector_kind
     from whmr_tpu.inference.detector import build_detector
+    from whmr_tpu.utils.profiling import enable_compile_cache
+
+    # persistent compile cache: startup warmup and /reload rebuilds hit
+    # cached XLA programs instead of recompiling (minutes on the tunnel)
+    enable_compile_cache()
 
     kind = detector_kind(args)
 
@@ -512,16 +539,15 @@ def main(argv=None):
         executor = BatchingExecutor(pipeline,
                                     max_wait_ms=args.coalesce_wait_ms)
     if args.warmup:
-        import numpy as np
-
-        from whmr_tpu.inference.pipeline import Detection
-
-        dummy = np.zeros((64, 64, 3), np.uint8)
-        dets = [Detection(32.0, 32.0, 48.0)]
         if executor is not None:
-            executor.submit(dummy, dets=dets)
+            import numpy as np
+
+            from whmr_tpu.inference.pipeline import Detection
+
+            executor.submit(np.zeros((64, 64, 3), np.uint8),
+                            dets=[Detection(32.0, 32.0, 48.0)])
         else:
-            pipeline.run_image(dummy, dets=dets)
+            _warmup_pipeline(pipeline)
         print("[serve] warmup compile done", flush=True)
     server = WHMRServer(
         pipeline, meta, executor=executor,

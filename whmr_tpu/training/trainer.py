@@ -350,13 +350,20 @@ class Trainer:
             ):
                 last = {k: float(v) for k, v in metrics.items()}
                 self.metrics.write(int(self.state.step), last)
+            saved_this_step = False
             if save_every and (i + 1) % save_every == 0:
                 # async disk write: training resumes after the host snapshot
                 self.save(batch_idx=i + 1, block=False)
+                saved_this_step = True
             if self._preempted:
                 self.batch_idx = i + 1
-                self.save(batch_idx=i + 1, block=True)
-                self.ckpt.wait_until_finished()
+                if saved_this_step:
+                    # the periodic save above already wrote this exact
+                    # step (orbax rejects a second save at the same step)
+                    # — just drain its async write before exiting
+                    self.ckpt.wait_until_finished()
+                else:
+                    self.save(batch_idx=i + 1, block=True)
                 print(
                     f"[trainer] preempted: checkpoint saved at step "
                     f"{int(self.state.step)} (epoch {self.epoch}, batch "
