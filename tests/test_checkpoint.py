@@ -53,3 +53,88 @@ class TestCheckpointManager:
         np.testing.assert_array_equal(
             best["params"]["w"], payload(2, 2)["params"]["w"]
         )
+
+
+class TestEMACheckpoints:
+    def test_trainer_writes_ema_dir_and_clis_can_load_it(self, tmp_path):
+        """train.ema_decay>0 -> <run>/checkpoints_ema written with a
+        weights-only payload; restore_weights and the demo/eval loaders
+        accept BOTH checkpoint flavors."""
+        from dataclasses import replace
+
+        import jax
+        import numpy as np
+
+        from whmr_tpu.training.trainer import Trainer
+        from whmr_tpu.utils.checkpoint import CheckpointManager
+        from whmr_tpu.utils.testing import make_example_train_batch, tiny_config
+
+        cfg = tiny_config()
+        cfg = replace(
+            cfg,
+            train=replace(cfg.train, batch_size=8, ema_decay=0.9),
+            pymaf=replace(cfg.pymaf, aux_supv_on=False),
+        )
+        run = tmp_path / "run"
+        tr = Trainer(cfg, log_dir=str(run), aux_rendering=False)
+        batch = make_example_train_batch(cfg, 8)
+
+        def loader():
+            for _ in range(2):
+                yield {k: np.asarray(v) for k, v in batch.items()}
+
+        tr.train_epoch(loader(), log_every=0, max_steps=2)
+        tr.save()
+        assert (run / "checkpoints_ema").is_dir()
+
+        # weights-only flavor loads through restore_weights
+        full_template = {
+            "params": tr.state.params, "batch_stats": tr.state.batch_stats,
+            "opt_state": tr.state.opt_state,
+            "step": np.zeros((), np.int32), "epoch": 0, "batch_idx": 0,
+        }
+        got = CheckpointManager(str(run / "checkpoints_ema")).restore_weights(
+            full_template
+        )
+        assert got is not None
+        for a, b in zip(jax.tree.leaves(got["params"]),
+                        jax.tree.leaves(tr.state.ema_params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-7)
+        # ema differs from the live params after 2 steps
+        diffs = [float(np.abs(np.asarray(a) - np.asarray(b)).max())
+                 for a, b in zip(jax.tree.leaves(got["params"]),
+                                 jax.tree.leaves(tr.state.params))]
+        assert max(diffs) > 0
+        # the full-training dir ALSO loads through the same helper
+        got_main = CheckpointManager(str(run / "checkpoints")).restore_weights(
+            full_template
+        )
+        assert got_main is not None
+
+        # resume restores the EMA average
+        tr2 = Trainer(cfg, log_dir=str(run), aux_rendering=False)
+        assert tr2.resume()
+        for a, b in zip(jax.tree.leaves(tr2.state.ema_params),
+                        jax.tree.leaves(tr.state.ema_params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-7)
+
+        # the demo pipeline builder accepts the ema dir directly
+        from argparse import Namespace
+
+        from whmr_tpu.inference.demo_cli import build_pipeline
+
+        misc = ["vit.embed_dim", "64", "vit.depth", "2",
+                "vit.num_heads", "2", "deconv.num_filters", "32,32,32",
+                "pymaf.mlp_dim", "32,16,8,4", "pymaf.aux_supv_on", "false"]
+        pipe = build_pipeline(Namespace(
+            misc=misc, cfg_file=None, data_dir=None,
+            checkpoint=str(run / "checkpoints_ema"), bundle=None,
+            max_people=2, no_camcalib=True, data_parallel=0,
+            tensor_parallel=0, dtype="fp32",
+        ))
+        for a, b in zip(jax.tree.leaves(pipe.variables["params"]),
+                        jax.tree.leaves(tr.state.ema_params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-7)

@@ -317,3 +317,37 @@ class TestGradAccum:
         cfg = replace(cfg, train=replace(cfg.train, grad_accum=3, batch_size=4))
         with pytest.raises(ValueError, match="must divide"):
             Trainer(cfg, log_dir="/tmp/_accum_reject_test")
+
+
+class TestEMA:
+    def test_ema_updates_toward_params(self):
+        from dataclasses import replace
+
+        import optax
+
+        cfg = tiny_config()
+        cfg = replace(cfg, train=replace(cfg.train, ema_decay=0.5))
+        model, state, consts, batch = setup_state(cfg, batch=4)
+        tx = optax.sgd(1e-3)
+        state = state.replace(tx=tx, opt_state=tx.init(state.params))
+        assert state.ema_params is not None and state.ema_decay == 0.5
+        step_fn = make_jitted_train_step(cfg, model, donate=False)
+        s1, _ = step_fn(state, consts, batch, jax.random.PRNGKey(1))
+        # after one step: ema = 0.5*params0 + 0.5*params1
+        want = jax.tree.map(lambda p0, p1: 0.5 * p0 + 0.5 * p1,
+                            state.params, s1.params)
+        for a, b in zip(jax.tree.leaves(s1.ema_params), jax.tree.leaves(want)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-7)
+        # second step keeps compounding
+        s2, _ = step_fn(s1, consts, batch, jax.random.PRNGKey(2))
+        want2 = jax.tree.map(lambda e, p: 0.5 * e + 0.5 * p,
+                             s1.ema_params, s2.params)
+        for a, b in zip(jax.tree.leaves(s2.ema_params), jax.tree.leaves(want2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-7)
+
+    def test_ema_off_by_default(self):
+        cfg = tiny_config()
+        _, state, _, _ = setup_state(cfg, batch=4)
+        assert state.ema_params is None

@@ -134,6 +134,12 @@ class TrainConfig:
     # mean-of-means convention as DDP across ranks; activation memory
     # drops ~K× so bigger global batches fit one chip. batch_size % K == 0.
     grad_accum: int = 1
+    # Exponential moving average of the params (net-new): ema = d*ema +
+    # (1-d)*params after every optimizer step, updated in-graph. Saved to
+    # <run>/checkpoints_ema as a weights-only checkpoint that every CLI
+    # (--checkpoint) can serve/evaluate directly. 0 = off; 0.999-0.9999
+    # are the usual production values.
+    ema_decay: float = 0.0
     # Mixed precision: compute in bf16 on MXU, accumulate/params in fp32.
     use_bf16: bool = True
     # Flat-buffer fused Adam (training/optim.py): bit-equal to optax.adam.

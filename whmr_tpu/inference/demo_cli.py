@@ -126,19 +126,18 @@ def build_pipeline(args):
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     if args.checkpoint:
         ckpt = CheckpointManager(args.checkpoint)
-        payload = ckpt.restore(
-            template={
-                "params": state.params,
-                "batch_stats": state.batch_stats,
-                "opt_state": state.opt_state,
-                "step": np.zeros((), np.int32),
-                "epoch": 0,
-                "batch_idx": 0,
-            }
-        )
-        if payload is None:
+        # accepts full-training AND weights-only payloads (the EMA dir
+        # checkpoints_ema, whmr-convert output)
+        variables = ckpt.restore_weights({
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+            "step": np.zeros((), np.int32),
+            "epoch": 0,
+            "batch_idx": 0,
+        })
+        if variables is None:
             raise SystemExit(f"no checkpoint in {args.checkpoint}")
-        variables = {"params": payload["params"], "batch_stats": payload["batch_stats"]}
 
     mesh = serving_mesh(args)
 

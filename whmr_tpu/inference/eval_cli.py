@@ -146,10 +146,16 @@ def load_model_state(args, cfg):
             "batch_idx": 0,
         }
     ckpt = CheckpointManager(args.checkpoint)
-    payload = ckpt.restore(template=template)
-    if payload is None:
+    # accepts full-training AND weights-only payloads (checkpoints_ema,
+    # whmr-convert output)
+    if "opt_state" in template:
+        variables = ckpt.restore_weights(template)
+    else:
+        variables = ckpt.restore(template=template)
+    if variables is None:
         raise SystemExit(f"no checkpoint found in {args.checkpoint}")
-    variables = {"params": payload["params"], "batch_stats": payload["batch_stats"]}
+    variables = {"params": variables["params"],
+                 "batch_stats": variables["batch_stats"]}
     return model, variables, consts, assets
 
 

@@ -36,6 +36,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fsdp", action="store_true",
                    help="ZeRO-3-style param/optimizer sharding over the data axis")
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute")
+    p.add_argument("--ema_decay", type=float, default=None, metavar="D",
+                   help="maintain an exponential moving average of the "
+                        "weights (saved to <run>/checkpoints_ema; serve "
+                        "or evaluate it by pointing --checkpoint there)")
     p.add_argument("--grad_accum", type=int, default=None, metavar="K",
                    help="accumulate gradients over K sequential "
                         "microbatches per optimizer step (batch_size % K "
@@ -71,6 +75,8 @@ def main(argv=None):
         overrides["train.batch_size"] = args.batch_size
     if args.grad_accum:
         overrides["train.grad_accum"] = args.grad_accum
+    if args.ema_decay is not None:
+        overrides["train.ema_decay"] = args.ema_decay
     if overrides:
         cfg = cfg.with_overrides(**overrides)
 

@@ -35,14 +35,26 @@ class TrainState(struct.PyTreeNode):
     batch_stats: Any
     opt_state: Any
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    # EMA of params (train.ema_decay > 0), else None. Updated in-graph by
+    # apply_gradients; checkpointed separately (trainer.save).
+    ema_params: Any = None
+    ema_decay: float = struct.field(pytree_node=False, default=0.0)
 
     def apply_gradients(self, grads, new_batch_stats):
         updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
+        new_params = optax.apply_updates(self.params, updates)
+        ema = self.ema_params
+        if ema is not None:
+            d = self.ema_decay
+            ema = jax.tree_util.tree_map(
+                lambda e, p: d * e + (1.0 - d) * p, ema, new_params
+            )
         return self.replace(
             step=self.step + 1,
-            params=optax.apply_updates(self.params, updates),
+            params=new_params,
             batch_stats=new_batch_stats,
             opt_state=new_opt_state,
+            ema_params=ema,
         )
 
 
@@ -106,12 +118,16 @@ def create_train_state(
     params = variables["params"]
     batch_stats = variables.get("batch_stats", FrozenDict())
     tx = make_optimizer(cfg, steps_per_epoch=steps_per_epoch)
+    ema_decay = float(cfg.train.ema_decay)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
         batch_stats=batch_stats,
         opt_state=tx.init(params),
         tx=tx,
+        ema_params=(jax.tree_util.tree_map(jnp.array, params)
+                    if ema_decay > 0 else None),
+        ema_decay=ema_decay,
     )
 
 

@@ -102,6 +102,10 @@ class Trainer:
         self.state = self.state.replace(
             params=shard_params(self.state.params, self.mesh, fsdp=fsdp),
             batch_stats=shard_params(self.state.batch_stats, self.mesh),
+            ema_params=(
+                shard_params(self.state.ema_params, self.mesh, fsdp=fsdp)
+                if self.state.ema_params is not None else None
+            ),
         )
         # Re-place optimizer state to mirror the param shardings (under FSDP
         # this is what actually distributes the optimizer state, ZeRO-style;
@@ -131,6 +135,13 @@ class Trainer:
             render_consts=self.render_consts, accum=self.accum,
         )
         self.ckpt = CheckpointManager(os.path.join(log_dir, "checkpoints"))
+        # EMA weights go to a sibling dir with a weights-only payload —
+        # point any CLI's --checkpoint at it to eval/serve/export the
+        # averaged model (restore_weights accepts both flavors).
+        self.ckpt_ema = (
+            CheckpointManager(os.path.join(log_dir, "checkpoints_ema"))
+            if self.state.ema_params is not None else None
+        )
         self.metrics = MetricWriter(log_dir)
         # Run-config dump (reference utils/train_utils.py:54-65 writes
         # args.json + cfg.yaml into the run dir).
@@ -199,6 +210,19 @@ class Trainer:
             opt_state=jax.tree.map(like, payload["opt_state"], self.state.opt_state),
             step=rep(jnp.asarray(payload["step"])),
         )
+        if self.ckpt_ema is not None:
+            ema = self.ckpt_ema.restore(template={
+                "params": self.state.ema_params,
+                "batch_stats": self.state.batch_stats,
+            })
+            self.state = self.state.replace(
+                ema_params=shard_params(
+                    # older run without an EMA dir: restart the average
+                    # from the restored params
+                    (ema["params"] if ema is not None else payload["params"]),
+                    self.mesh, fsdp=self.fsdp,
+                )
+            )
         self.epoch = int(payload["epoch"])
         self.batch_idx = int(payload.get("batch_idx", 0))
         return True
@@ -289,6 +313,16 @@ class Trainer:
             metric=metric,
             block=block,
         )
+        if self.ckpt_ema is not None:
+            # weights-only flavor: any CLI's --checkpoint can point here
+            self.ckpt_ema.save(
+                int(self.state.step),
+                {
+                    "params": jax.device_get(self.state.ema_params),
+                    "batch_stats": jax.device_get(self.state.batch_stats),
+                },
+                block=block,
+            )
 
     # -- train loop ----------------------------------------------------------
     def train_epoch(
@@ -362,6 +396,8 @@ class Trainer:
                     # step (orbax rejects a second save at the same step)
                     # — just drain its async write before exiting
                     self.ckpt.wait_until_finished()
+                    if self.ckpt_ema is not None:
+                        self.ckpt_ema.wait_until_finished()
                 else:
                     self.save(batch_idx=i + 1, block=True)
                 print(

@@ -76,6 +76,27 @@ class CheckpointManager:
             )
         return self._mgr.restore(step)
 
+    def restore_weights(self, full_template: Dict[str, Any]) -> Optional[Dict[str, Any]]:
+        """Restore just model weights {params, batch_stats}, accepting
+        either checkpoint flavor: a full training payload (params,
+        batch_stats, opt_state, step, epoch, batch_idx — whmr-train's
+        main dir) or a weights-only payload (params, batch_stats — the
+        EMA dir `checkpoints_ema`, and converted-torch checkpoints).
+        orbax StandardRestore requires the template to match the saved
+        structure exactly, so both shapes are tried."""
+        weights_only = {
+            "params": full_template["params"],
+            "batch_stats": full_template["batch_stats"],
+        }
+        try:
+            payload = self.restore(template=full_template)
+        except ValueError:
+            payload = self.restore(template=weights_only)
+        if payload is None:
+            return None
+        return {"params": payload["params"],
+                "batch_stats": payload["batch_stats"]}
+
     def restore_best(self, template: Optional[Dict[str, Any]] = None):
         self._best_ckptr.wait_until_finished()
         if not os.path.exists(self._best_dir):
