@@ -122,6 +122,14 @@ def main():
              "graph the reference times, whmr.py:509-522 / tester.py:100-104; "
              "one frame per batch, rotation broadcast to all crops)",
     )
+    ap.add_argument(
+        "--attn", default=None, metavar="IMPL",
+        help="opt-in attention formulation override (vit.attn_impl), e.g. "
+             "bf16sm — the compute-dtype softmax that wins ~3.5%% on the "
+             "forward tower (scripts/bench_attn.py sweep) at the cost of "
+             "changed bf16 numerics; default keeps the fp32-softmax graph "
+             "the parity tests cover",
+    )
     opts = ap.parse_args()
 
     wait_for_tpu()
@@ -143,6 +151,8 @@ def main():
     iters = 10
 
     cfg = WHMRConfig()
+    if opts.attn:
+        cfg = cfg.with_overrides(**{"vit.attn_impl": opts.attn})
     consts = body_consts_from_assets(synthetic_smpl_assets())
     model = WHMR(cfg, dtype=jnp.bfloat16)
     inp = make_example_inputs(cfg, batch)
@@ -201,6 +211,8 @@ def main():
     metric = "person_crops_per_sec_per_chip"
     if opts.camcalib:
         metric += "_camcalib"
+    if opts.attn:
+        metric += f"_attn_{opts.attn}"
     print(
         json.dumps(
             {
