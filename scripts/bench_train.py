@@ -53,13 +53,17 @@ def bench_render(batch: int):
     faces_unsorted = np.asarray(assets.faces)
     iters = 20
 
-    def make_bench(faces, chunk, prep_only=False, tile_p=1024):
+    def make_bench(faces, chunk, prep_only=False, tile_p=1024, pooled=False):
         @jax.jit
-        def run(smpl_c, iuv, pose, betas, cam):
+        def run(smpl_c, iuv, pose, betas, cam, pool=None):
             from whmr_tpu.ops.rotation import batch_rodrigues
 
             rm = batch_rodrigues(pose.reshape(-1, 3)).reshape(-1, 24, 3, 3)
             verts = smpl_forward(smpl_c, betas, rm).vertices
+            if pooled:
+                # gt_render_mesh="sub": rasterize the dmap0-pooled verts
+                # (the train step reuses its existing gt_sub einsum).
+                verts = jnp.einsum("sv,bvk->bsk", pool, verts)
             attrs = jnp.broadcast_to(iuv[None], (batch, *iuv.shape))
 
             def body(i, carry):
@@ -88,15 +92,22 @@ def bench_render(batch: int):
     # (1024,256) 44.1 / (512,512) 23.0 / (512,1024) 19.7 / (256,1024) 13.7 /
     # (128,1024) 11.8 / (64,1024) 12.6 / (128,768) 11.9 ms; unsorted@default
     # 45.9; prep-only (XLA face tables) 2.2 ms.
+    rc_sub = build_render_consts(assets, mesh="sub")
+    pool = jnp.asarray(assets.dmap0)
     variants = [
-        ("kd_default", fk, 1024, False, 128),
-        ("unsorted_default", faces_unsorted, 1024, False, 128),
-        ("prep_only", fk, 1024, True, 128),
+        ("kd_default", fk, 1024, False, 128, rc.vertex_iuv, None),
+        ("unsorted_default", faces_unsorted, 1024, False, 128, rc.vertex_iuv, None),
+        ("prep_only", fk, 1024, True, 128, rc.vertex_iuv, None),
+        ("kd_sub", np.asarray(rc_sub.faces), 1024, False, 128,
+         rc_sub.vertex_iuv, pool),
     ]
-    for name, faces, chunk, prep, tp in variants:
+    for name, faces, chunk, prep, tp, iuv, pl in variants:
+        args = (consts.smpl, iuv, pose, betas, cam)
+        if pl is not None:
+            args = args + (pl,)
         dt = _timeit(
-            make_bench(faces, chunk, prep, tp), consts.smpl, rc.vertex_iuv, pose,
-            betas, cam, iters=iters,
+            make_bench(faces, chunk, prep, tp, pooled=pl is not None),
+            *args, iters=iters,
         )
         print(json.dumps({
             "metric": f"gt_render_ms_{name}", "value": round(dt * 1e3, 2),
@@ -147,6 +158,7 @@ def _make_keypoints_consistent(consts, batch_np, batch: int):
 def bench_step(
     batch: int, aux: bool, depth: bool | None = None, tag: str = "",
     fused_adam: bool = False, attn_impl: str | None = None,
+    gt_mesh: str = "full",
 ):
     import jax
     import jax.numpy as jnp
@@ -167,6 +179,7 @@ def bench_step(
         pymaf=replace(
             cfg.pymaf, aux_supv_on=aux,
             depth_supv_on=aux if depth is None else depth,
+            gt_render_mesh=gt_mesh,
         ),
         train=replace(cfg.train, fused_adam=fused_adam),
     )
@@ -174,7 +187,7 @@ def bench_step(
         cfg = replace(cfg, vit=replace(cfg.vit, attn_impl=attn_impl))
     assets = synthetic_smpl_assets()
     consts = body_consts_from_assets(assets)
-    rc = build_render_consts(assets)
+    rc = build_render_consts(assets, mesh=gt_mesh)
     model = WHMR(cfg, dtype=jnp.bfloat16)
     inp = make_example_inputs(cfg, batch)
     state = create_train_state(
@@ -499,6 +512,8 @@ def main():
         bench_step(batch, aux=True, tag="aux_on_fused_adam", fused_adam=True)
     if which == "step_bf16sm":
         bench_step(batch, aux=True, tag="aux_on_bf16sm", attn_impl="bf16sm")
+    if which == "step_submesh":
+        bench_step(batch, aux=True, tag="aux_on_submesh", gt_mesh="sub")
     if which == "ablate":
         bench_step(batch, aux=True, depth=False, tag="iuv_only")
         bench_step(batch, aux=False, depth=True, tag="depth_only")

@@ -2,6 +2,7 @@
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from whmr_tpu.data.assets import synthetic_smpl_assets
 from whmr_tpu.ops.rasterizer import (
@@ -148,3 +149,67 @@ class TestGTCameraSanitization:
         )
         assert np.isfinite(np.asarray(maps["iuv_image_gt"])).all()
         assert np.isfinite(np.asarray(maps["depth_image_gt"])).all()
+
+
+class TestSubMeshRender:
+    """gt_render_mesh="sub": coarse GT render from the dmap0-pooled mesh."""
+
+    @pytest.mark.smoke
+    def test_sub_consts_topology(self):
+        import numpy as np
+
+        from whmr_tpu.data.assets import synthetic_smpl_assets
+        from whmr_tpu.training.gt_renderer import build_render_consts
+
+        assets = synthetic_smpl_assets()
+        full = build_render_consts(assets)
+        sub = build_render_consts(assets, mesh="sub")
+        n_sub = assets.dmap0.shape[0]
+        assert sub.vertex_iuv.shape == (n_sub, 3)
+        f = np.asarray(sub.faces)
+        assert f.shape[1] == 3 and f.shape[0] < full.faces.shape[0]
+        assert f.min() >= 0 and f.max() < n_sub
+        # no degenerate faces survive the collapse
+        assert ((f[:, 0] != f[:, 1]) & (f[:, 1] != f[:, 2])
+                & (f[:, 0] != f[:, 2])).all()
+        # IUV value ranges preserved (parts 1..24 scaled by /24, UV in [0,1])
+        iuv = np.asarray(sub.vertex_iuv)
+        assert (iuv >= 0).all() and (iuv <= 1).all()
+        with pytest.raises(ValueError):
+            build_render_consts(assets, mesh="bogus")
+
+    @pytest.mark.smoke
+    def test_sub_render_covers_full_silhouette(self):
+        """The coarse render must put the body in the same place: compare
+        foreground masks of sub vs full renders of the same posed body."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from whmr_tpu.data.assets import synthetic_smpl_assets
+        from whmr_tpu.models.smpl import smpl_forward, smpl_params_from_assets
+        from whmr_tpu.training.gt_renderer import (
+            build_render_consts,
+            render_gt_maps,
+        )
+
+        assets = synthetic_smpl_assets()
+        params = smpl_params_from_assets(assets)
+        out = smpl_forward(
+            params, jnp.zeros((2, 10)), jnp.broadcast_to(jnp.eye(3), (2, 24, 3, 3))
+        )
+        cam = jnp.asarray([[0.9, 0.02, -0.05], [1.1, -0.1, 0.1]], jnp.float32)
+        gt_sub_verts = jnp.einsum(
+            "sv,bvk->bsk", jnp.asarray(assets.dmap0), out.vertices
+        )
+        kw = dict(heatmap_size=(64, 64), vitpose_slice=False, with_depth=True)
+        m_full = render_gt_maps(build_render_consts(assets), out.vertices, cam, **kw)
+        m_sub = render_gt_maps(
+            build_render_consts(assets, mesh="sub"), gt_sub_verts, cam, **kw
+        )
+        assert m_sub["iuv_image_gt"].shape == m_full["iuv_image_gt"].shape
+        fg_full = np.asarray(m_full["iuv_image_gt"][..., 0] > 0)
+        fg_sub = np.asarray(m_sub["iuv_image_gt"][..., 0] > 0)
+        inter = (fg_full & fg_sub).sum()
+        union = (fg_full | fg_sub).sum()
+        assert union > 0 and inter / union > 0.5, inter / union
+        assert np.isfinite(np.asarray(m_sub["depth_image_gt"])).all()

@@ -173,6 +173,27 @@ class TestAuxSupervision:
         assert np.isfinite(float(metrics["loss"]))
         assert float(metrics["loss_IndexUV"]) > 0
 
+    def test_train_step_with_submesh_render(self):
+        """gt_render_mesh="sub": the step renders the dmap0-pooled mesh and
+        still produces finite IUV losses (train_step picks the vertex set by
+        the render consts' vertex count)."""
+        from dataclasses import replace
+
+        from whmr_tpu.data.assets import synthetic_smpl_assets
+        from whmr_tpu.training.gt_renderer import build_render_consts
+
+        cfg = tiny_config()
+        cfg = replace(cfg, pymaf=replace(cfg.pymaf, gt_render_mesh="sub"))
+        model, state, consts, batch = setup_state(cfg)
+        render_consts = build_render_consts(synthetic_smpl_assets(), mesh="sub")
+        step_fn = make_jitted_train_step(
+            cfg, model, donate=False, render_consts=render_consts
+        )
+        _, metrics = step_fn(state, consts, batch, jax.random.PRNGKey(1))
+        assert "loss_IndexUV" in metrics
+        assert np.isfinite(float(metrics["loss"]))
+        assert float(metrics["loss_IndexUV"]) > 0
+
     def test_train_step_with_depth_supervision(self):
         """DEPTH_SUPV_ON wires GT depth render -> loss_Depth -> dpth_head grad
         (reference core/trainer.py:489-495)."""

@@ -56,6 +56,11 @@ class PyMAFConfig:
     # here it is a first-class stage appended after the MAF loop.
     grph_on: bool = False
     dp_heatmap_size: Tuple[int, int] = (128, 128)
+    # GT IUV/depth rasterization mesh: "full" (6890 verts, reference
+    # protocol — utils/renderer.py:289-533 renders the full surface) or
+    # "sub" (the 1723-vert dmap0 mesh; ~4x fewer faces, faster aux-on train
+    # step, slightly coarser dense supervision — opt-in numerics change).
+    gt_render_mesh: str = "full"
     # Number of surface markers pooled per MAF step (reference whmr.py:100,336:
     # 67 SSM markers from data/smpl/smpl_ssm.npy).
     n_markers: int = 67

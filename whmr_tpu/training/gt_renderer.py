@@ -33,8 +33,22 @@ class RenderConsts(NamedTuple):
     faces: np.ndarray        # (F, 3) static topology, KD-sorted for cull
 
 
-def build_render_consts(assets: SMPLAssets, densepose_mat: Optional[str] = None) -> RenderConsts:
-    """Vertex IUV chart: real DensePose data if given, synthetic otherwise."""
+def build_render_consts(
+    assets: SMPLAssets,
+    densepose_mat: Optional[str] = None,
+    mesh: str = "full",
+) -> RenderConsts:
+    """Vertex IUV chart: real DensePose data if given, synthetic otherwise.
+
+    mesh="sub" (opt-in via cfg.pymaf.gt_render_mesh) rasterizes the
+    1723-vert downsampled mesh instead of the full 6890-vert surface:
+    ~4x fewer faces means proportionally less rasterizer work per train
+    step, at the cost of slightly coarser (but dense and identically
+    encoded) GT IUV/depth supervision than the reference's full-mesh
+    pytorch3d render (utils/renderer.py:289-533). The sub-mesh vertices
+    are the dmap0-pooled verts the loss stack already computes (gt_sub),
+    so the train step adds no extra matmul.
+    """
     v = assets.v_template.shape[0]
     if densepose_mat and os.path.exists(densepose_mat):
         import scipy.io
@@ -67,9 +81,32 @@ def build_render_consts(assets: SMPLAssets, densepose_mat: Optional[str] = None)
         vert_iuv = np.stack(
             [part.astype(np.float32) / 24.0, uv[:, 0], uv[:, 1]], axis=-1
         ).astype(np.float32)
+    faces_np = np.asarray(assets.faces)
+    template = np.asarray(assets.v_template)
+    if mesh == "sub":
+        dmap0 = np.asarray(assets.dmap0)  # (1723, 6890) row-stochastic pool
+        owner = dmap0.argmax(axis=0)      # full vert -> dominant sub vert
+        rep = dmap0.argmax(axis=1)        # sub vert -> heaviest member
+        vert_iuv = np.asarray(vert_iuv)[rep]
+        mapped = owner[faces_np]
+        keep = (
+            (mapped[:, 0] != mapped[:, 1])
+            & (mapped[:, 1] != mapped[:, 2])
+            & (mapped[:, 0] != mapped[:, 2])
+        )
+        # Orientation-agnostic dedup: faces that collapse onto the same sub
+        # triangle shade identically (the rasterizer has no backface cull),
+        # so keeping one copy halves redundant coverage work.
+        faces_np = np.unique(
+            np.sort(mapped[keep], axis=1), axis=0
+        ).astype(np.int32)
+        rows = dmap0.sum(axis=1, keepdims=True)
+        template = (dmap0 @ template) / np.maximum(rows, 1e-6)
+    elif mesh != "full":
+        raise ValueError(f"mesh must be 'full' or 'sub', got {mesh!r}")
     # KD-sort the topology once so every rasterizer face chunk is a
     # compact surface patch -> small projected bbox -> tile culling bites.
-    faces_sorted = spatial_sort_faces(np.asarray(assets.faces), np.asarray(assets.v_template))
+    faces_sorted = spatial_sort_faces(faces_np, template)
     return RenderConsts(vertex_iuv=jnp.asarray(vert_iuv), faces=faces_sorted)
 
 

@@ -179,9 +179,15 @@ def _microbatch_grads(
             gt_out.joints, kp_orig, FOCAL_LENGTH, (float(w), float(h))
         )
         gt_camera = gt_camera_from_cam_t(jax.lax.stop_gradient(opt_cam_t))
+        # gt_render_mesh="sub" renders the already-computed dmap0-pooled
+        # vertices (coarse mesh, ~4x fewer faces — see build_render_consts).
+        n_rv = render_consts.vertex_iuv.shape[0]
+        render_verts = (
+            gt_vertices if n_rv == gt_vertices.shape[1] else gt_sub
+        )
         maps = render_gt_maps(
             render_consts,
-            gt_vertices,
+            render_verts,
             gt_camera,
             heatmap_size=cfg.pymaf.dp_heatmap_size,
             vitpose_slice=cfg.pymaf.backbone == "vitpose",

@@ -77,7 +77,7 @@ class Trainer:
         assets = get_assets(data_dir)
         self.consts = body_consts_from_assets(assets)
         self.render_consts = (
-            build_render_consts(assets)
+            build_render_consts(assets, mesh=cfg.pymaf.gt_render_mesh)
             if (aux_rendering and (cfg.pymaf.aux_supv_on or cfg.pymaf.depth_supv_on))
             else None
         )
