@@ -123,6 +123,12 @@ def main():
              "one frame per batch, rotation broadcast to all crops)",
     )
     ap.add_argument(
+        "--profile", default=None, metavar="DIR",
+        help="capture a jax.profiler (Perfetto/XPlane) trace of one timed "
+             "rep into DIR (SURVEY §5 tracing; view with TensorBoard's "
+             "profile plugin or ui.perfetto.dev)",
+    )
+    ap.add_argument(
         "--attn", default=None, metavar="IMPL",
         help="opt-in attention formulation override (vit.attn_impl), e.g. "
              "bf16sm — the compute-dtype softmax that wins ~3.5%% on the "
@@ -201,6 +207,12 @@ def main():
 
     # compile + warm up
     float(chained(variables, consts, args))
+    if opts.profile:
+        from whmr_tpu.utils.profiling import trace
+
+        with trace(opts.profile):
+            float(chained(variables, consts, args))
+        print(f"[bench] trace written to {opts.profile}", file=sys.stderr)
     t0 = time.perf_counter()
     reps = 3
     for _ in range(reps):

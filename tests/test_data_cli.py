@@ -122,3 +122,109 @@ class TestEmptyFile:
                  cam_rotmat=np.zeros((0, 3, 3), np.float32))
         errors, _ = check_npz(str(tmp_path / "empty.npz"))
         assert any("0 samples" in e for e in errors)
+
+
+class TestTCMRConvert:
+    """`whmr-data tcmr`: TCMR/VIBE db -> npz schema (reference
+    ThreeDPW_dataset.py:16-57)."""
+
+    def _dict_db(self, tmp_path, n=6):
+        import joblib
+
+        rng = np.random.RandomState(0)
+        db = {
+            "img_name": np.array([f"courtyard/image_{i:05d}.jpg" for i in range(n)]),
+            "bbox": np.concatenate(
+                [rng.uniform(100, 400, (n, 2)), rng.uniform(80, 260, (n, 2))], 1
+            ).astype(np.float32),
+            "pose": (rng.randn(n, 72) * 0.2).astype(np.float32),
+            "shape": (rng.randn(n, 10) * 0.2).astype(np.float32),
+            "joints2D": np.concatenate(
+                [rng.uniform(0, 400, (n, 49, 2)), rng.uniform(0, 1, (n, 49, 1))],
+                -1,
+            ).astype(np.float32),
+            "joints3D": (rng.randn(n, 49, 3) * 0.3).astype(np.float32),
+            "vid_name": np.array(["courtyard_arguing_00"] * n),
+            "frame_id": np.arange(n),
+            "valid": np.ones(n, np.float32),
+        }
+        path = tmp_path / "3dpw_test_db.pt"
+        joblib.dump(db, path)
+        return str(path), db
+
+    def test_dict_flavor_roundtrip(self, tmp_path):
+        from whmr_tpu.data.tcmr import tcmr_to_npz
+
+        db_path, db = self._dict_db(tmp_path)
+        out_npz = str(tmp_path / "labels.npz")
+        out = tcmr_to_npz(db_path, out_npz)
+        loaded = dict(np.load(out_npz, allow_pickle=True))
+        assert loaded["imgname"].shape == (6,)
+        np.testing.assert_allclose(loaded["center"], db["bbox"][:, :2])
+        np.testing.assert_allclose(
+            loaded["scale"], db["bbox"][:, 2:].max(1) / 200.0
+        )
+        # SPIN 49 split: openpose rows :25, part rows 25:
+        np.testing.assert_allclose(loaded["openpose"], db["joints2D"][:, :25])
+        np.testing.assert_allclose(loaded["part"], db["joints2D"][:, 25:])
+        assert loaded["S"].shape == (6, 24, 4)
+        np.testing.assert_allclose(loaded["S"][..., :3], db["joints3D"][:, 25:])
+        assert "vid_name" in loaded and "frame_id" in loaded
+
+    def test_dict_flavor_validates_and_loads(self, tmp_path):
+        """The converted file passes `whmr-data check --train` and feeds
+        NpzDataset end-to-end (eval mode; images synthesized to match)."""
+        import cv2
+
+        from whmr_tpu.data.data_cli import check_npz, main
+        from whmr_tpu.data.npz_dataset import NpzDataset
+        from whmr_tpu.utils.testing import tiny_config
+
+        db_path, db = self._dict_db(tmp_path)
+        img_dir = tmp_path / "imgs"
+        (img_dir / "courtyard").mkdir(parents=True)
+        for name in db["img_name"]:
+            cv2.imwrite(
+                str(img_dir / str(name)),
+                np.random.RandomState(1).randint(0, 255, (480, 640, 3), np.uint8),
+            )
+        out_npz = str(tmp_path / "labels.npz")
+        main(["tcmr", db_path, out_npz])
+        errors, _ = check_npz(out_npz, img_dir=str(img_dir), train=True)
+        assert not errors, errors
+        ds = NpzDataset(tiny_config(), out_npz, str(img_dir), is_train=False)
+        item = ds[0]
+        assert np.isfinite(item["img"]).all()
+
+    def test_path_list_flavor(self, tmp_path):
+        import cv2
+        import joblib
+
+        from whmr_tpu.data.tcmr import tcmr_to_npz
+
+        img_dir = tmp_path / "frames"
+        img_dir.mkdir()
+        paths = []
+        for i in range(3):
+            name = f"f_{i}.png"
+            cv2.imwrite(str(img_dir / name),
+                        np.zeros((360, 480, 3), np.uint8))
+            paths.append(f"/some/abs/root/{name}")
+        db_path = str(tmp_path / "db.pt")
+        joblib.dump(paths, db_path)
+        out = tcmr_to_npz(db_path, str(tmp_path / "o.npz"),
+                          img_dir=str(img_dir))
+        # reference convention: center = img center, scale = max(h,w)/200
+        np.testing.assert_allclose(out["center"][0], [240, 180])
+        np.testing.assert_allclose(out["scale"], 480 / 200.0)
+
+    def test_path_list_without_images_fails_clearly(self, tmp_path):
+        import joblib
+        import pytest
+
+        from whmr_tpu.data.tcmr import tcmr_to_npz
+
+        db_path = str(tmp_path / "db.pt")
+        joblib.dump(["/nonexistent/a.png"], db_path)
+        with pytest.raises(FileNotFoundError):
+            tcmr_to_npz(db_path, str(tmp_path / "o.npz"))

@@ -179,6 +179,38 @@ class TestSubMeshRender:
             build_render_consts(assets, mesh="bogus")
 
     @pytest.mark.smoke
+    def test_selection_matrix_dmap_no_spurious_fan(self):
+        """The real mesh_downsampling.npz D is a binary SELECTION matrix —
+        one nonzero per row, ~5100 of 6890 columns all-zero. A naive
+        dmap0.argmax(axis=0) maps every unselected full vert to sub-vert 0,
+        fanning ~2k spurious triangles from it (advisor round-3 high). The
+        NN-based mapping must produce a balanced, bounded valence instead."""
+        import dataclasses
+
+        import numpy as np
+
+        from whmr_tpu.data.assets import synthetic_smpl_assets
+        from whmr_tpu.training.gt_renderer import build_render_consts
+
+        base = synthetic_smpl_assets()
+        n_sub, n_full = base.dmap0.shape
+        sel = np.zeros((n_sub, n_full), np.float32)
+        # Strided selection like the real asset: each row picks ONE vertex.
+        picks = np.linspace(0, n_full - 1, n_sub).astype(int)
+        sel[np.arange(n_sub), picks] = 1.0
+        assets = dataclasses.replace(base, dmap0=sel)
+        sub = build_render_consts(assets, mesh="sub")
+        f = np.asarray(sub.faces)
+        assert f.min() >= 0 and f.max() < n_sub
+        # Valence of any single sub vertex stays in the normal mesh range;
+        # the argmax bug gives sub-vert 0 a valence in the thousands.
+        counts = np.bincount(f.reshape(-1), minlength=n_sub)
+        assert counts.max() < 64, counts.max()
+        # Coverage: the kept topology should still be a real surface, not
+        # a fringe of survivors around one bad vertex.
+        assert f.shape[0] > n_sub, f.shape
+
+    @pytest.mark.smoke
     def test_sub_render_covers_full_silhouette(self):
         """The coarse render must put the body in the same place: compare
         foreground masks of sub vs full renders of the same posed body."""

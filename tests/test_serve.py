@@ -622,7 +622,7 @@ class TestReload:
 
         pipe_a, pipe_b = pipe_for(0), pipe_for(99)
         srv = WHMRServer(pipe_a, {}, executor=None,
-                         reload_fn=lambda ck: pipe_b)
+                         reload_fn=lambda checkpoint=None, bundle=None: pipe_b)
         httpd = srv.bind("127.0.0.1", 0)
         t = threading.Thread(target=httpd.serve_forever, daemon=True)
         t.start()
@@ -652,12 +652,83 @@ class TestReload:
             httpd.shutdown()
             httpd.server_close()
 
-        # frozen-bundle daemon (module fixture): reload must 409
+        # daemon without a reload_fn (module fixture): reload must 409
         url_bundle, _pipe, _ex = server
         with pytest.raises(urllib.error.HTTPError) as e:
             _post(url_bundle + "/reload", b"")
         assert e.value.code == 409
-        assert "frozen bundle" in json.loads(e.value.read())["error"]
+        assert "reload unavailable" in json.loads(e.value.read())["error"]
+
+    def test_reload_bundle_mode_swaps_artifact(self, tmp_path):
+        """Bundle-mode /reload (round-4): POST {"bundle": dir} atomically
+        re-deserializes and swaps the served artifact — the warm
+        weight-swap story no longer requires live-checkpoint mode."""
+        import jax
+        import jax.numpy as jnp
+
+        from whmr_tpu.data.assets import synthetic_smpl_assets
+        from whmr_tpu.inference.export import export_serving, save_exported
+        from whmr_tpu.inference.pipeline import DemoPipeline, Detection
+        from whmr_tpu.inference.serve_cli import WHMRServer
+        from whmr_tpu.models.regressor import body_consts_from_assets
+        from whmr_tpu.models.whmr import WHMR
+        from whmr_tpu.training.train_step import create_train_state
+
+        cfg = tiny_config()
+        assets = synthetic_smpl_assets()
+        consts = body_consts_from_assets(assets)
+        model = WHMR(cfg)
+        inputs = make_example_inputs(cfg, 2)
+
+        def bundle_for(seed):
+            state = create_train_state(
+                cfg, model, consts, jax.random.PRNGKey(seed),
+                {k: jnp.asarray(v) for k, v in inputs.items()},
+            )
+            variables = {"params": state.params,
+                         "batch_stats": state.batch_stats}
+            exp, flat = export_serving(
+                cfg, model, variables, consts, 2,
+                camcalib=False, platforms=("cpu",),
+            )
+            path = str(tmp_path / f"bundle_{seed}")
+            save_exported(path, exp, flat, cfg, 2, False)
+            return path
+
+        bundle_a, bundle_b = bundle_for(0), bundle_for(99)
+
+        def make_pipe(checkpoint=None, bundle=None):
+            return DemoPipeline(cfg, None, assets, max_people=2,
+                                use_camcalib=False,
+                                bundle=bundle or bundle_a)
+
+        srv = WHMRServer(make_pipe(), {}, executor=None,
+                         reload_fn=make_pipe)
+        httpd = srv.bind("127.0.0.1", 0)
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        base = f"http://127.0.0.1:{httpd.server_address[1]}"
+        try:
+            rng = np.random.RandomState(9)
+            img = rng.randint(0, 255, (80, 80, 3), np.uint8)
+            buf = io.BytesIO()
+            np.savez(buf, image=img,
+                     bboxes=np.array([[40.0, 40.0, 60.0]], np.float32))
+            body = buf.getvalue()
+            before = np.load(io.BytesIO(_post(base + "/infer", body)[2]))
+            r = json.loads(_post(
+                base + "/reload",
+                json.dumps({"bundle": bundle_b}).encode())[2])
+            assert r["status"] == "reloaded" and r["source"] == bundle_b
+            after = np.load(io.BytesIO(_post(base + "/infer", body)[2]))
+            assert not np.allclose(before["verts"], after["verts"])
+            want = make_pipe(bundle=bundle_b).run_image(
+                img, dets=[Detection(40.0, 40.0, 60.0)])
+            np.testing.assert_allclose(after["verts"], want["verts"],
+                                       rtol=1e-5, atol=1e-5)
+        finally:
+            httpd.shutdown()
+            httpd.server_close()
 
     def test_reload_bad_json_is_400(self, server):
         url_bundle, _pipe, _ex = server

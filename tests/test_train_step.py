@@ -72,6 +72,53 @@ class TestTrainStep:
         assert "loss_shape_1" not in metrics
 
 
+class TestHMRTrainStep:
+    """Trainable HMR baseline (`--regressor hmr`, reference
+    core/train_options.py:19-20, trainer.py:51-53,406-440)."""
+
+    def _setup(self, cfg, batch=4):
+        from whmr_tpu.models.hmr import HMR
+        from whmr_tpu.training.train_step import create_hmr_train_state
+
+        consts = body_consts_from_assets(synthetic_smpl_assets())
+        model = HMR()
+        inputs = make_example_inputs(cfg, batch)
+        state = create_hmr_train_state(
+            cfg, model, consts, jax.random.PRNGKey(0), jnp.asarray(inputs["x"])
+        )
+        batch_data = {
+            k: jnp.asarray(v)
+            for k, v in make_example_train_batch(cfg, batch).items()
+        }
+        return model, state, consts, batch_data
+
+    def test_loss_decreases_and_terms(self):
+        # kp_2d_w defaults to 0 (reference pymaf_config); enable it here so
+        # the 2D reprojection term is exercised too
+        cfg = tiny_config().with_overrides(**{"loss.kp_2d_w": 300.0})
+        model, state, consts, batch = self._setup(cfg)
+        step_fn = make_jitted_train_step(cfg, model, donate=False, regressor="hmr")
+        losses = []
+        for i in range(8):
+            state, metrics = step_fn(state, consts, batch, jax.random.PRNGKey(i))
+            losses.append(float(metrics["loss"]))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0], losses
+        # HMR loss subset: single-pass terms only, no world/aux/vertex
+        assert "loss_regr_pose_0" in metrics
+        assert "loss_keypoints_0" in metrics
+        assert "loss_keypoints_3d_0" in metrics
+        assert "loss_cam_0" in metrics
+        assert "loss_keypoints_world_0" not in metrics
+        assert "loss_shape_0" not in metrics
+        assert int(state.step) == 8
+
+    def test_accum_rejected(self):
+        cfg = tiny_config()
+        with pytest.raises(ValueError):
+            make_jitted_train_step(cfg, None, regressor="hmr", accum=2)
+
+
 class TestMeshSharding:
     def test_data_parallel_8_devices(self):
         assert len(jax.devices()) == 8, "conftest must fake 8 CPU devices"

@@ -105,6 +105,37 @@ class TestTrainer:
         p1 = jax.tree.leaves(trainer2.state.params)[0]
         np.testing.assert_allclose(np.asarray(p0), np.asarray(p1))
 
+    def test_hmr_regressor_epoch_and_resume(self, tmp_path):
+        """`whmr-train --regressor hmr` (reference train_options.py:19-20):
+        the plain HMR baseline trains and round-trips through the same
+        checkpoint machinery."""
+        cfg = tiny_config()
+        trainer = Trainer(cfg, str(tmp_path / "hmr"), regressor="hmr")
+        assert trainer.render_consts is None  # no dense heads to supervise
+        last = trainer.train_epoch(batch_iter(cfg), log_every=1)
+        assert np.isfinite(last["loss"])
+        assert "loss_regr_pose_0" in last and "loss_keypoints_world_1" not in last
+        assert int(trainer.state.step) == 2
+        trainer.save(metric=last["loss"])
+        trainer2 = Trainer(cfg, str(tmp_path / "hmr"), regressor="hmr")
+        assert trainer2.resume()
+        assert int(trainer2.state.step) == 2
+
+    def test_profile_trace_window(self, tmp_path):
+        """--profile writes a jax.profiler trace dir covering the chosen
+        step window (utils/profiling wired via enable_profiling)."""
+        cfg = tiny_config()
+        trainer = Trainer(cfg, str(tmp_path / "prof"), aux_rendering=False)
+        tdir = str(tmp_path / "trace")
+        trainer.enable_profiling(tdir, steps=1, skip=1)
+        trainer.train_epoch(batch_iter(cfg, n_batches=3), log_every=0)
+        assert trainer._profile["done"]
+        # jax writes plugins/profile/<ts>/*.xplane.pb under the log dir
+        found = []
+        for root, _dirs, files in os.walk(tdir):
+            found += [f for f in files if f.endswith((".xplane.pb", ".trace.json.gz"))]
+        assert found, f"no trace artifacts under {tdir}"
+
     def test_epoch_boundary_resume_does_not_retrain(self, tmp_path):
         """An epoch-boundary checkpoint records epoch+1 (reference
         trainer.py:362,662), so resume continues at the NEXT epoch instead

@@ -42,6 +42,16 @@ def build_parser() -> argparse.ArgumentParser:
     k.add_argument("annotation_json")
     k.add_argument("out_npz")
     k.add_argument("--min_keypoints", type=int, default=6)
+
+    t = sub.add_parser(
+        "tcmr",
+        help="convert a TCMR/VIBE db file (joblib .pt) to the npz schema "
+             "(reference ThreeDPW_dataset.py:16-57 reads these directly)",
+    )
+    t.add_argument("db_pt")
+    t.add_argument("out_npz")
+    t.add_argument("--img_dir", default=None,
+                   help="image root for probing sizes (path-list flavor)")
     return p
 
 
@@ -200,6 +210,12 @@ def main(argv=None):
         if n == 0:
             print("WARNING: no persons passed the min_keypoints filter — "
                   "the file is empty and will not validate", file=sys.stderr)
+    if args.cmd == "tcmr":
+        from whmr_tpu.data.tcmr import tcmr_to_npz
+
+        out = tcmr_to_npz(args.db_pt, args.out_npz, img_dir=args.img_dir)
+        print(f"wrote {args.out_npz}: {len(out['imgname'])} samples, "
+              f"fields {sorted(out.keys())}")
 
 
 if __name__ == "__main__":

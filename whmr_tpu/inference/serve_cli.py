@@ -35,11 +35,13 @@ clients spread across chips while weights stay replicated, so capacity
 scales with N at unchanged per-request semantics.
 
 Warm weight swap: `POST /reload` (optional json body
-{"checkpoint": dir}; default re-reads the configured dir's latest save)
-rebuilds the pipeline and atomically repoints the daemon — in-flight
-requests finish on the old weights, later ones use the new; no restart,
-no dropped requests. Frozen-bundle daemons answer 409 (bundles are
-immutable artifacts).
+{"checkpoint": dir} or {"bundle": dir}; default re-reads the configured
+source — a checkpoint dir picks up its latest save, a bundle dir is
+re-deserialized) rebuilds the pipeline, warms its compile, and atomically
+repoints the daemon — in-flight requests finish on the old weights, later
+ones use the new; no restart, no dropped requests. Bundle daemons swap to
+a re-exported artifact the same way (the artifact itself stays immutable;
+the daemon just changes which one it serves).
 """
 
 from __future__ import annotations
@@ -337,9 +339,10 @@ class WHMRServer:
 
     def __init__(self, pipeline, meta: dict, executor: "BatchingExecutor" = None,
                  reload_fn=None):
-        """reload_fn(checkpoint_or_None) -> new DemoPipeline: enables
-        POST /reload (warm weight swap without downtime); None disables
-        the endpoint (frozen bundles are immutable artifacts)."""
+        """reload_fn(checkpoint=..., bundle=...) -> new DemoPipeline:
+        enables POST /reload (warm weight swap without downtime) for both
+        live-checkpoint and frozen-bundle daemons; None disables the
+        endpoint."""
         from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
         self.pipeline = pipeline
@@ -400,11 +403,16 @@ class WHMRServer:
                                 f"{type(parsed).__name__}"
                             )
                         ckpt = parsed.get("checkpoint")
+                        bundle = parsed.get("bundle")
+                        if ckpt and bundle:
+                            raise ValueError(
+                                "pass 'checkpoint' OR 'bundle', not both"
+                            )
                     except (json.JSONDecodeError, ValueError) as e:
                         self._json(400, {"error": f"bad /reload body: {e}"})
                         return
                     try:
-                        info = server.reload(ckpt)
+                        info = server.reload(ckpt, bundle=bundle)
                     except _ReloadUnsupported as e:
                         self._json(409, {"error": str(e)})
                         return
@@ -453,31 +461,34 @@ class WHMRServer:
         self.httpd = self._server_cls((host, port), self.handler_cls)
         return self.httpd
 
-    def reload(self, checkpoint: str = None) -> dict:
-        """Warm weight swap: rebuild the pipeline from `checkpoint` (None
-        = re-read the configured checkpoint dir, picking up its latest
-        save), COMPILE it with a dummy forward, then atomically point the
-        server and the coalescing executor at it. In-flight requests
-        finish on the old weights; subsequent batches use the new ones.
-        The pre-swap warmup matters: the rebuilt pipeline is a fresh jit
+    def reload(self, checkpoint: str = None, bundle: str = None) -> dict:
+        """Warm weight swap: rebuild the pipeline from `checkpoint` or
+        `bundle` (both None = re-read the configured source: a checkpoint
+        dir picks up its latest save, a bundle dir is re-deserialized),
+        COMPILE it with a dummy forward, then atomically point the server
+        and the coalescing executor at it. In-flight requests finish on
+        the old weights; subsequent batches use the new ones. The
+        pre-swap warmup matters: the rebuilt pipeline is a fresh jit
         closure, and on remote-compile transports its first call can take
         minutes — warming before the swap keeps live traffic on the old
         weights until the new graph is actually ready."""
         if self.reload_fn is None:
-            raise _ReloadUnsupported(
-                "reload unavailable: daemon is serving a frozen bundle "
-                "(immutable artifact) — restart with a new bundle instead"
-            )
+            raise _ReloadUnsupported("reload unavailable on this daemon")
         with self._reload_lock:  # serialize concurrent reloads
-            new_pipe = self.reload_fn(checkpoint)
+            new_pipe = self.reload_fn(checkpoint=checkpoint, bundle=bundle)
             _warmup_pipeline(new_pipe)
+            served = getattr(new_pipe, "_served", None)
+            if served is not None and getattr(served, "meta", None):
+                self.meta = dict(served.meta)
             self.pipeline = new_pipe
             if self.executor is not None:
+                # a re-exported bundle may carry a different batch capacity
                 self.executor.pipeline = new_pipe
+                self.executor.capacity = int(new_pipe.max_people)
             self.reloads += 1
             return {
                 "status": "reloaded",
-                "checkpoint": checkpoint or "(configured dir, latest)",
+                "source": checkpoint or bundle or "(configured source)",
                 "reloads": self.reloads,
             }
 
@@ -519,12 +530,14 @@ def main(argv=None):
 
     kind = detector_kind(args)
 
-    def make_pipeline(checkpoint=None):
+    def make_pipeline(checkpoint=None, bundle=None):
         import copy
 
         a = copy.copy(args)
         if checkpoint is not None:
-            a.checkpoint = checkpoint
+            a.checkpoint, a.bundle = checkpoint, None
+        elif bundle is not None:
+            a.bundle, a.checkpoint = bundle, None
         p = build_pipeline(a)
         p.detector = build_detector(kind, None, pipeline=p)
         return p
@@ -549,10 +562,8 @@ def main(argv=None):
         else:
             _warmup_pipeline(pipeline)
         print("[serve] warmup compile done", flush=True)
-    server = WHMRServer(
-        pipeline, meta, executor=executor,
-        reload_fn=make_pipeline if args.checkpoint else None,
-    )
+    server = WHMRServer(pipeline, meta, executor=executor,
+                        reload_fn=make_pipeline)
     httpd = server.bind(args.host, args.port)
     print(f"[serve] WHMR listening on http://{args.host}:{httpd.server_address[1]} "
           f"(detector={kind}, max_people={args.max_people}, "

@@ -12,6 +12,11 @@ def build_parser() -> argparse.ArgumentParser:
         description="Train the WHMR TPU model (reference train.py:41-69 surface)"
     )
     p.add_argument("--cfg_file", default=None, help="reference-style YAML config")
+    p.add_argument("--regressor", default="pymaf_net",
+                   choices=("pymaf_net", "hmr"),
+                   help="model to train: the full WHMR (pymaf_net) or the "
+                        "plain SPIN-style HMR baseline (reference "
+                        "core/train_options.py:19-20, trainer.py:406-440)")
     p.add_argument("--log_dir", default="runs")
     p.add_argument("--name", default=None, help="run name (default: timestamp)")
     p.add_argument("--data_dir", default=None, help="asset dir (SMPL files etc.)")
@@ -49,6 +54,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="fork-based loader worker processes (0 = GIL-bound "
                         "threads; use ~cores/8 per chip to keep the aux-on "
                         "step fed — see scripts/bench_loader.py)")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a jax.profiler (Perfetto/XPlane) trace of "
+                        "a few training steps into DIR (SURVEY §5 tracing; "
+                        "view with TensorBoard's profile plugin or "
+                        "ui.perfetto.dev)")
+    p.add_argument("--profile_steps", type=int, default=3,
+                   help="steps inside the --profile trace window")
     p.add_argument("--misc", nargs="*", default=[],
                    help="dotted config overrides: key value [key value ...]")
     return p
@@ -103,6 +115,7 @@ def main(argv=None):
         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
         steps_per_epoch=steps_per_epoch,
         fsdp=args.fsdp,
+        regressor=args.regressor,
     )
     resumed = args.resume and trainer.resume()
     if resumed:
@@ -127,6 +140,8 @@ def main(argv=None):
         loader.set_epoch(epoch)
         return loader
 
+    if args.profile:
+        trainer.enable_profiling(args.profile, steps=args.profile_steps)
     # SIGTERM (cluster preemption) -> consistent mid-epoch checkpoint at
     # the next batch boundary, exit 0; continue with --resume.
     trainer.install_preemption_handler()

@@ -84,8 +84,19 @@ def build_render_consts(
     faces_np = np.asarray(assets.faces)
     template = np.asarray(assets.v_template)
     if mesh == "sub":
-        dmap0 = np.asarray(assets.dmap0)  # (1723, 6890) row-stochastic pool
-        owner = dmap0.argmax(axis=0)      # full vert -> dominant sub vert
+        dmap0 = np.asarray(assets.dmap0)  # (1723, 6890) pooling/selection
+        rows = dmap0.sum(axis=1, keepdims=True)
+        pooled = (dmap0 @ template) / np.maximum(rows, 1e-6)
+        # full vert -> sub vert by nearest pooled-template point. The real
+        # mesh_downsampling.npz D (GraphCMR/COMA; assets.py:194, reference
+        # whmr.py:77) is a binary SELECTION matrix — one nonzero per row,
+        # ~5100 of 6890 columns all-zero — so dmap0.argmax(axis=0) would
+        # silently map every unselected full vert to sub-vert 0 and leave
+        # ~2k spurious triangles fanning from it. NN on the template is
+        # well-defined for both selection and row-stochastic pool matrices.
+        from scipy.spatial import cKDTree
+
+        owner = cKDTree(pooled).query(template)[1].astype(np.int64)
         rep = dmap0.argmax(axis=1)        # sub vert -> heaviest member
         vert_iuv = np.asarray(vert_iuv)[rep]
         mapped = owner[faces_np]
@@ -100,8 +111,7 @@ def build_render_consts(
         faces_np = np.unique(
             np.sort(mapped[keep], axis=1), axis=0
         ).astype(np.int32)
-        rows = dmap0.sum(axis=1, keepdims=True)
-        template = (dmap0 @ template) / np.maximum(rows, 1e-6)
+        template = pooled
     elif mesh != "full":
         raise ValueError(f"mesh must be 'full' or 'sub', got {mesh!r}")
     # KD-sort the topology once so every rasterizer face chunk is a

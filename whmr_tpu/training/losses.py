@@ -165,6 +165,52 @@ def depth_loss(
     return jnp.sum(per * mask) / batch * point_regression_weight * jnp.minimum(mask.sum(), 1.0)
 
 
+def hmr_loss(
+    cfg: WHMRConfig,
+    pred_rotmat: jnp.ndarray,
+    pred_betas: jnp.ndarray,
+    pred_cam: jnp.ndarray,
+    pred_kp_2d: jnp.ndarray,
+    pred_kp_3d: jnp.ndarray,
+    batch: Dict[str, jnp.ndarray],
+) -> Dict[str, jnp.ndarray]:
+    """Loss subset for the plain HMR baseline (`--regressor hmr`).
+
+    The reference selects this path via train_options.py:19-20 and runs the
+    shared assembly loop once (trainer.py:498 `len_loop = 1`): SMPL param
+    MSE + crop-frame 2D keypoints + pelvis-aligned 3D keypoints + the
+    positive-depth camera regularizer. No world/aux/focal/vertex terms:
+    HMR has no world branch or dense heads, the vertex losses are gated
+    `l_i > 2` (never true at l_i=0), and the reference's own hmr branch
+    leaves the projection undefined (the SMPL-forward block at
+    trainer.py:527-530 is commented out — a shipped-state staleness we
+    standardize rather than replicate, SURVEY §1 caveat): the projections
+    here are computed the way the pymaf path computes them.
+    """
+    w = cfg.loss
+    loss_dict: Dict[str, jnp.ndarray] = {}
+    lp, lb = smpl_param_loss(
+        pred_rotmat, pred_betas, batch["pose"], batch["betas"], batch["has_smpl"]
+    )
+    loss_dict["loss_regr_pose_0"] = lp * w.pose_w
+    loss_dict["loss_regr_betas_0"] = lb * w.shape_w
+    if w.kp_2d_w > 0:
+        loss_dict["loss_keypoints_0"] = (
+            keypoint_loss(
+                pred_kp_2d, batch["keypoints"],
+                w.openpose_train_weight, w.gt_train_weight,
+            )
+            * w.kp_2d_w
+        )
+    loss_dict["loss_keypoints_3d_0"] = (
+        keypoint_3d_loss(pred_kp_3d, batch["pose_3d"], batch["has_pose_3d"])
+        * w.kp_3d_w
+    )
+    loss_dict["loss_cam_0"] = jnp.mean(jnp.exp(-pred_cam[:, 0] * 10) ** 2)
+    loss_dict["loss"] = sum(v for k, v in loss_dict.items() if k != "loss")
+    return loss_dict
+
+
 def whmr_loss(
     cfg: WHMRConfig,
     preds: Dict,

@@ -182,9 +182,19 @@ def _microbatch_grads(
         # gt_render_mesh="sub" renders the already-computed dmap0-pooled
         # vertices (coarse mesh, ~4x fewer faces — see build_render_consts).
         n_rv = render_consts.vertex_iuv.shape[0]
-        render_verts = (
-            gt_vertices if n_rv == gt_vertices.shape[1] else gt_sub
+        expect = (
+            consts.dmap0.shape[0]
+            if cfg.pymaf.gt_render_mesh == "sub"
+            else gt_vertices.shape[1]
         )
+        if n_rv != expect:
+            raise ValueError(
+                f"render_consts has {n_rv} vertices but "
+                f"cfg.pymaf.gt_render_mesh={cfg.pymaf.gt_render_mesh!r} "
+                f"expects {expect}: build_render_consts(mesh=...) and the "
+                "config disagree"
+            )
+        render_verts = gt_vertices if expect == gt_vertices.shape[1] else gt_sub
         maps = render_gt_maps(
             render_consts,
             render_verts,
@@ -307,17 +317,92 @@ def train_step_accum(
     return new_state, metrics
 
 
+def create_hmr_train_state(
+    cfg: WHMRConfig,
+    model,
+    consts: BodyConsts,
+    rng: jax.Array,
+    example_x: jnp.ndarray,
+    steps_per_epoch: int = 1,
+) -> TrainState:
+    """TrainState for the plain HMR baseline (`--regressor hmr`,
+    reference core/train_options.py:19-20) — same optimizer/EMA machinery
+    as the pymaf state, simpler init signature (image only)."""
+    variables = jax.jit(
+        lambda c, x: model.init(
+            {"params": rng, "dropout": jax.random.fold_in(rng, 1)},
+            c, x, train=False,
+        )
+    )(consts, example_x)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", FrozenDict())
+    tx = make_optimizer(cfg, steps_per_epoch=steps_per_epoch)
+    ema_decay = float(cfg.train.ema_decay)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        tx=tx,
+        ema_params=(jax.tree_util.tree_map(jnp.array, params)
+                    if ema_decay > 0 else None),
+        ema_decay=ema_decay,
+    )
+
+
+def hmr_train_step(
+    cfg: WHMRConfig,
+    model,
+    state: TrainState,
+    consts: BodyConsts,
+    batch: Dict[str, jnp.ndarray],
+    rng: jax.Array,
+    render_consts=None,
+) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+    """One HMR-baseline optimization step (reference trainer.py:406-409 +
+    the single-pass loss loop at :498-590). render_consts is accepted and
+    ignored: HMR has no dense heads to supervise."""
+    from whmr_tpu.ops.camera import weak_perspective_projection
+    from whmr_tpu.training.losses import hmr_loss
+
+    def loss_fn(params):
+        variables = {"params": params, "batch_stats": state.batch_stats}
+        (rotmat, betas, cam), mutated = model.apply(
+            variables, consts, batch["img"], train=True,
+            rngs={"dropout": rng}, mutable=["batch_stats"],
+        )
+        out = smpl_forward(consts.smpl, betas, rotmat)
+        kp_2d = weak_perspective_projection(out.joints, cam, cfg.img_res)
+        losses = hmr_loss(cfg, rotmat, betas, cam, kp_2d, out.joints, batch)
+        return losses["loss"], (losses, mutated["batch_stats"])
+
+    (_, (losses, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        state.params
+    )
+    new_state = state.apply_gradients(grads, new_stats)
+    metrics = {k: v for k, v in losses.items()}
+    metrics["grad_norm"] = optax.global_norm(grads)
+    return new_state, metrics
+
+
 def make_jitted_train_step(
     cfg: WHMRConfig, model: WHMR, mesh=None, donate: bool = True,
-    render_consts=None, accum: int = 1,
+    render_consts=None, accum: int = 1, regressor: str = "pymaf_net",
 ):
     """Partial + jit with batch sharded over 'data' and state replicated/TP.
 
     Returns fn(state, consts, batch, rng) -> (state, metrics). With
     accum > 1 the batch must arrive shaped (accum, micro, ...) and is
     sharded over 'data' on the MICRO axis (see train_step_accum).
+    regressor="hmr" selects the single-pass HMR-baseline step (no grad
+    accumulation support — the baseline fits memory trivially).
     """
-    fn = train_step_accum if accum > 1 else train_step
+    if regressor == "hmr":
+        if accum > 1:
+            raise ValueError("--grad_accum is not supported with --regressor hmr")
+        fn = hmr_train_step
+    else:
+        fn = train_step_accum if accum > 1 else train_step
     step = functools.partial(fn, cfg, model, render_consts=render_consts)
     kwargs = {}
     if donate:

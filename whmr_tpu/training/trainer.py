@@ -71,17 +71,28 @@ class Trainer:
         seed: int = 0,
         steps_per_epoch: int = 1,
         fsdp: bool = False,
+        regressor: str = "pymaf_net",
     ):
         self.cfg = cfg
         self.log_dir = log_dir
+        self.regressor = regressor
         assets = get_assets(data_dir)
         self.consts = body_consts_from_assets(assets)
         self.render_consts = (
             build_render_consts(assets, mesh=cfg.pymaf.gt_render_mesh)
-            if (aux_rendering and (cfg.pymaf.aux_supv_on or cfg.pymaf.depth_supv_on))
+            if (regressor == "pymaf_net" and aux_rendering
+                and (cfg.pymaf.aux_supv_on or cfg.pymaf.depth_supv_on))
             else None
         )
-        self.model = WHMR(cfg, dtype=dtype)
+        if regressor == "hmr":
+            # Plain HMR baseline (reference core/train_options.py:19-20,
+            # trainer.py:51-53,406-440): ResNet + rot6d regressor, trained
+            # with the kp2d/kp3d/param/cam loss subset (losses.hmr_loss).
+            from whmr_tpu.models.hmr import HMR
+
+            self.model = HMR(dtype=dtype)
+        else:
+            self.model = WHMR(cfg, dtype=dtype)
         self.mesh = mesh if mesh is not None else make_mesh(model_parallel=model_parallel)
         if cfg.train.fused_adam and (fsdp or model_parallel > 1):
             raise ValueError(
@@ -91,13 +102,21 @@ class Trainer:
             )
 
         example = make_example_inputs(cfg, batch=2)
-        args = {
-            k: jnp.asarray(v) for k, v in example.items()
-        }
-        self.state = create_train_state(
-            cfg, self.model, self.consts, jax.random.PRNGKey(seed), args,
-            steps_per_epoch=steps_per_epoch,
-        )
+        if regressor == "hmr":
+            from whmr_tpu.training.train_step import create_hmr_train_state
+
+            self.state = create_hmr_train_state(
+                cfg, self.model, self.consts, jax.random.PRNGKey(seed),
+                jnp.asarray(example["x"]), steps_per_epoch=steps_per_epoch,
+            )
+        else:
+            args = {
+                k: jnp.asarray(v) for k, v in example.items()
+            }
+            self.state = create_train_state(
+                cfg, self.model, self.consts, jax.random.PRNGKey(seed), args,
+                steps_per_epoch=steps_per_epoch,
+            )
         self.fsdp = fsdp
         self.state = self.state.replace(
             params=shard_params(self.state.params, self.mesh, fsdp=fsdp),
@@ -133,6 +152,7 @@ class Trainer:
         self.step_fn = make_jitted_train_step(
             cfg, self.model, mesh=self.mesh, donate=True,
             render_consts=self.render_consts, accum=self.accum,
+            regressor=regressor,
         )
         self.ckpt = CheckpointManager(os.path.join(log_dir, "checkpoints"))
         # EMA weights go to a sibling dir with a weights-only payload —
@@ -159,6 +179,18 @@ class Trainer:
         # boundary (net-new — the reference loses mid-epoch work on
         # preemption, recovery is manual --resume, base_trainer.py:35-48).
         self._preempted = False
+        # jax.profiler window (SURVEY §5: the reference has no tracing at
+        # all; `whmr-train --profile DIR` is the rebuild's answer). Set by
+        # enable_profiling; train_epoch opens the trace after `skip`
+        # warm/compile steps and closes it `steps` later.
+        self._profile = None
+
+    def enable_profiling(self, log_dir: str, steps: int = 3, skip: int = 2):
+        """Capture a Perfetto/XPlane trace of `steps` training steps,
+        starting after `skip` steps (so compilation and cold caches stay
+        out of the window). One capture per process."""
+        self._profile = {"dir": log_dir, "steps": steps, "skip": skip,
+                         "active": False, "done": False}
 
     def install_preemption_handler(self, signals=None) -> None:
         """SIGTERM (the cluster-preemption signal) → save a mid-epoch
@@ -374,6 +406,23 @@ class Trainer:
         ):
             if max_steps is not None and i >= max_steps:
                 break
+            prof = self._profile
+            if prof and not prof["done"]:
+                k = i - start_batch
+                if not prof["active"] and k == prof["skip"]:
+                    # sync: drain in-flight steps so the window holds only
+                    # the traced steps (scalar readback of the step counter,
+                    # which depends on every update — block_until_ready is
+                    # a no-op on the tunnel, CLAUDE.md)
+                    int(self.state.step)
+                    jax.profiler.start_trace(prof["dir"])
+                    prof["active"] = True
+                elif prof["active"] and k == prof["skip"] + prof["steps"]:
+                    int(self.state.step)
+                    jax.profiler.stop_trace()
+                    prof.update(active=False, done=True)
+                    print(f"[trainer] profile trace written to {prof['dir']}",
+                          flush=True)
             self.rng, step_rng = jax.random.split(self.rng)
             self.state, metrics = self.step_fn(
                 self.state, self.consts, batch, step_rng
@@ -406,6 +455,13 @@ class Trainer:
                     f"{i + 1}); resume with --resume", flush=True,
                 )
                 raise SystemExit(0)
+        if self._profile and self._profile["active"]:
+            # epoch ended inside the trace window: close it cleanly
+            int(self.state.step)
+            jax.profiler.stop_trace()
+            self._profile.update(active=False, done=True)
+            print(f"[trainer] profile trace written to "
+                  f"{self._profile['dir']}", flush=True)
         return last
 
     def make_validate_fn(self, val_loader_factory, gendered_smpl=None):
@@ -451,6 +507,7 @@ class Trainer:
             return run_evaluation(
                 self.cfg, self.model, variables, self.consts, batches(),
                 log_every=0, gendered_smpl=gendered_smpl, mesh=eval_mesh,
+                regressor=self.regressor,
             )
 
         return validate
