@@ -129,6 +129,12 @@ def main():
              "profile plugin or ui.perfetto.dev)",
     )
     ap.add_argument(
+        "--cfg_file", default=None,
+        help="reference-style YAML config (e.g. configs/vit-l.yaml to "
+             "bench the ViT-L/H presets; default = the headline ViT-B "
+             "graph)",
+    )
+    ap.add_argument(
         "--attn", default=None, metavar="IMPL",
         help="opt-in attention formulation override (vit.attn_impl), e.g. "
              "bf16sm — the compute-dtype softmax that wins ~3.5%% on the "
@@ -156,7 +162,12 @@ def main():
     batch = opts.batch
     iters = 10
 
-    cfg = WHMRConfig()
+    if opts.cfg_file:
+        from whmr_tpu.config import load_yaml
+
+        cfg = load_yaml(opts.cfg_file)
+    else:
+        cfg = WHMRConfig()
     if opts.attn:
         cfg = cfg.with_overrides(**{"vit.attn_impl": opts.attn})
     consts = body_consts_from_assets(synthetic_smpl_assets())

@@ -1,11 +1,16 @@
 """Attention-impl microbench: full ViT-B tower on the real TPU.
 
-Usage: python scripts/bench_attn.py [batch]
+Usage: python scripts/bench_attn.py [batch] [impl,impl,...] [train]
 
 Sweeps models/layers.Attention `impl` variants inside the real 12-block
 ViTBackbone (bf16, 256x192 -> 192 tokens) with one shared param tree —
 the impls differ only in the inner attention formulation, so params are
 interchangeable. Chained-in-jit timing (see bench.py methodology notes).
+
+`train` switches to the fwd+bwd shape (value_and_grad of a scalar sum
+over the tower at the training batch): the round-3 sweep covered only
+the forward, leaving the "backward can't beat its roofline" claim
+asserted rather than measured (VERDICT r3 weak item 7 / next item 7).
 
 MEASURED (v5e, B=48, ms per tower forward) — see CLAUDE.md round-2 notes.
 """
@@ -29,8 +34,12 @@ def main():
     from whmr_tpu.config import ViTConfig
     from whmr_tpu.models.vit import ViTBackbone
 
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 48
-    iters = 20
+    args = [a for a in sys.argv[1:]]
+    train = "train" in args
+    if train:
+        args.remove("train")
+    batch = int(args[0]) if args else 48
+    iters = 8 if train else 20
     cfg = ViTConfig()
     x = jnp.asarray(
         np.random.RandomState(0).randn(batch, *cfg.img_size, 3).astype(np.float32)
@@ -40,24 +49,49 @@ def main():
     variables = jax.jit(lambda xx: model0.init(jax.random.PRNGKey(0), xx))(x)
 
     outs = {}
-    impls = sys.argv[2].split(",") if len(sys.argv) > 2 else (
+    impls = args[1].split(",") if len(args) > 1 else (
         "einsum", "bhnd", "xla_dpa", "pallas", "split", "bf16sm",
     )
+    mode = "train" if train else "fwd"
     for impl in impls:
         model = ViTBackbone(replace(cfg, attn_impl=impl), dtype=jnp.bfloat16)
 
-        @jax.jit
-        def chained(v, xx):
-            def body(i, carry):
-                out = model.apply(v, xx + (carry * 0).astype(xx.dtype))
-                return carry + jnp.sum(out.astype(jnp.float32))
+        if train:
+            # fwd+bwd: grads wrt params of a scalar reduction, the same
+            # shape the train step runs (loss -> tower backward). The
+            # grad-l2 readback depends on every gradient leaf, so the
+            # whole backward is on the timed path.
+            def loss_fn(v, xx):
+                return jnp.sum(model.apply(v, xx).astype(jnp.float32))
 
-            return lax.fori_loop(0, iters, body, jnp.float32(0))
+            @jax.jit
+            def chained(v, xx):
+                def body(i, carry):
+                    _, g = jax.value_and_grad(loss_fn)(
+                        v, xx + (carry * 0).astype(xx.dtype)
+                    )
+                    leaves = jax.tree_util.tree_leaves(g)
+                    return carry + sum(
+                        jnp.sum(l.astype(jnp.float32) ** 2) for l in leaves
+                    )
+
+                return lax.fori_loop(0, iters, body, jnp.float32(0))
+        else:
+
+            @jax.jit
+            def chained(v, xx):
+                def body(i, carry):
+                    out = model.apply(v, xx + (carry * 0).astype(xx.dtype))
+                    return carry + jnp.sum(out.astype(jnp.float32))
+
+                return lax.fori_loop(0, iters, body, jnp.float32(0))
 
         try:
             ref = float(chained(variables, x))  # compile + warm
         except Exception as e:  # record compile failures as data points
-            print(json.dumps({"metric": f"vit_tower_ms_{impl}", "error": str(e)[:200]}))
+            print(json.dumps({
+                "metric": f"vit_tower_{mode}_ms_{impl}", "error": str(e)[:200],
+            }))
             continue
         t0 = time.perf_counter()
         reps = 3
@@ -66,7 +100,7 @@ def main():
         dt = (time.perf_counter() - t0) / (reps * iters)
         outs[impl] = ref / iters
         print(json.dumps({
-            "metric": f"vit_tower_ms_{impl}", "value": round(dt * 1e3, 2),
+            "metric": f"vit_tower_{mode}_ms_{impl}", "value": round(dt * 1e3, 2),
             "unit": "ms", "batch": batch,
         }))
 

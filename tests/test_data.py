@@ -128,6 +128,58 @@ class TestNpzDataset:
         # vary across epochs
         assert np.abs(a - b).max() > 1e-3
 
+    def test_no_aug_train_is_deterministic_and_cached(self, fake_dataset):
+        cfg = tiny_config()
+        mk = lambda **kw: NpzDataset(
+            cfg, str(fake_dataset / "labels.npz"), str(fake_dataset / "images"),
+            is_train=True, seed=11, **kw,
+        )
+        ds = mk(use_augmentation=False)
+        a = ds[0]
+        ds.set_epoch(3)  # aug off: epoch must not change the sample
+        b = ds[0]
+        np.testing.assert_array_equal(a["img"], b["img"])
+        np.testing.assert_array_equal(a["pose"], b["pose"])
+        assert a["is_flipped"] == 0.0 and a["rot_angle"] == 0.0
+        # cache_images returns identical samples and actually memoizes
+        dsc = mk(use_augmentation=False, cache_images=True)
+        c0 = dsc[0]
+        assert 0 in dsc._img_cache
+        np.testing.assert_array_equal(c0["img"], a["img"])
+        np.testing.assert_array_equal(dsc[0]["img"], a["img"])  # cache hit
+        # cache with augmentation on still matches the uncached pipeline
+        ds_aug, ds_aug_c = mk(), mk(cache_images=True)
+        np.testing.assert_array_equal(ds_aug[1]["img"], ds_aug_c[1]["img"])
+
+    def test_device_norm_feed_matches_host_norm(self, fake_dataset):
+        """uint8 feed + in-graph normalize == the host f32 pipeline."""
+        import jax.numpy as jnp
+
+        from whmr_tpu.training.train_step import device_normalize
+
+        cfg = tiny_config()
+        mk = lambda **kw: NpzDataset(
+            cfg, str(fake_dataset / "labels.npz"), str(fake_dataset / "images"),
+            is_train=True, seed=7, **kw,
+        )
+        host = mk()[0]
+        dev = mk(device_norm=True)[0]
+        assert dev["img"].dtype == np.uint8
+        assert dev["pixel_noise"].shape == (3,)
+        got = np.asarray(
+            device_normalize(
+                jnp.asarray(dev["img"][None]), jnp.asarray(dev["pixel_noise"][None])
+            )[0]
+        )
+        np.testing.assert_allclose(got, host["img"], rtol=0, atol=1e-6)
+        # eval mode ignores the flag: downstream eval graphs expect f32
+        ds_eval = NpzDataset(
+            cfg, str(fake_dataset / "labels.npz"), str(fake_dataset / "images"),
+            is_train=False, device_norm=True,
+        )
+        assert ds_eval.device_norm is False
+        assert ds_eval[0]["img"].dtype == np.float32
+
     def test_keypoints_world_in_range(self, fake_dataset):
         cfg = tiny_config()
         ds = NpzDataset(

@@ -371,6 +371,117 @@ class TestCoalescing:
         assert ex.stats["requests"] == 1  # the orphan never hit the device
 
 
+class TestCamCalibCoalescing:
+    """Round-4: CamCalib runs once per unique frame through the
+    standalone graph and crops coalesce with per-crop cam_rotmat —
+    results must match per-request run_image (in-graph CamCalib)."""
+
+    @pytest.fixture(scope="class")
+    def cam_pipe(self):
+        import jax
+        import jax.numpy as jnp
+
+        from whmr_tpu.data.assets import synthetic_smpl_assets
+        from whmr_tpu.inference.pipeline import DemoPipeline
+        from whmr_tpu.models.regressor import body_consts_from_assets
+        from whmr_tpu.models.whmr import WHMR
+        from whmr_tpu.training.train_step import create_train_state
+
+        cfg = tiny_config()
+        assets = synthetic_smpl_assets()
+        consts = body_consts_from_assets(assets)
+        model = WHMR(cfg)
+        inputs = make_example_inputs(cfg, 2)
+        state = create_train_state(
+            cfg, model, consts, jax.random.PRNGKey(0),
+            {k: jnp.asarray(v) for k, v in inputs.items()},
+        )
+        return DemoPipeline(
+            cfg, {"params": state.params, "batch_stats": state.batch_stats},
+            assets, max_people=2, use_camcalib=True,
+        )
+
+    def test_coalesced_matches_per_request(self, cam_pipe):
+        from whmr_tpu.inference.pipeline import Detection
+        from whmr_tpu.inference.serve_cli import BatchingExecutor
+
+        ex = BatchingExecutor(cam_pipe, max_wait_ms=1.0, start=False)
+        rng = np.random.RandomState(5)
+        imgs = [rng.randint(0, 255, (200, 160, 3), np.uint8) for _ in range(2)]
+        dets = [Detection(80.0, 100.0, 90.0)]
+
+        results = []
+        threads = [
+            threading.Thread(target=lambda i=img: results.append(
+                (i, ex.submit(i, dets=dets))))
+            for img in imgs
+        ]
+        for t in threads:
+            t.start()
+        import time
+
+        deadline = time.time() + 60
+        while ex.q.qsize() < 2 and time.time() < deadline:
+            time.sleep(0.01)
+        # bounded get: if a submit thread died before q.put, fail loudly
+        # instead of deadlocking the suite (round-4 regression)
+        group = [ex.q.get(timeout=30)]
+        ex._collect_group(group)
+        assert len(group) == 2  # two single-crop frames share one batch
+        ex._run_group(group)
+        for r in group:
+            r.event.set()
+        for t in threads:
+            t.join(timeout=60)
+        assert len(results) == 2
+        assert ex.stats["camcalib_calls"] == 2  # once per unique frame
+
+        for img, got in results:
+            ref = cam_pipe.run_image(img, dets=dets)  # in-graph CamCalib
+            np.testing.assert_allclose(got["verts"], ref["verts"],
+                                       rtol=1e-5, atol=1e-5)
+            np.testing.assert_allclose(got["verts_world"],
+                                       ref["verts_world"],
+                                       rtol=1e-5, atol=1e-5)
+            np.testing.assert_allclose(got["cam_rotmat"], ref["cam_rotmat"],
+                                       rtol=1e-5, atol=1e-6)
+            # the pitch-FLIPPED overlay rotation survives the substitution
+            np.testing.assert_allclose(got["render_rotmat"],
+                                       ref["render_rotmat"],
+                                       rtol=1e-5, atol=1e-6)
+
+    def test_cache_hits_repeated_frame(self, cam_pipe):
+        from whmr_tpu.inference.pipeline import Detection
+        from whmr_tpu.inference.serve_cli import BatchingExecutor
+
+        ex = BatchingExecutor(cam_pipe, max_wait_ms=1.0, start=True)
+        rng = np.random.RandomState(6)
+        img = rng.randint(0, 255, (160, 160, 3), np.uint8)
+        dets = [Detection(80.0, 80.0, 90.0)]
+        try:
+            a = ex.submit(img, dets=dets)
+            b = ex.submit(img, dets=dets)  # same frame -> cache hit
+            assert ex.stats["camcalib_calls"] == 1
+            assert ex.stats["camcalib_cache_hits"] == 1
+            np.testing.assert_allclose(a["verts"], b["verts"],
+                                       rtol=1e-6, atol=1e-6)
+        finally:
+            ex.shutdown()
+
+    def test_frozen_camcalib_bundle_rejected(self, cam_pipe, tmp_path):
+        """A camcalib bundle has no standalone CamCalib entry: the
+        executor must refuse it with a clear message."""
+        from whmr_tpu.inference.serve_cli import BatchingExecutor
+
+        class FrozenLike:
+            use_camcalib = True
+            _cam_fwd = None
+            max_people = 2
+
+        with pytest.raises(ValueError, match="live model"):
+            BatchingExecutor(FrozenLike(), start=False)
+
+
 class TestServeGuards:
     def test_corrupt_npz_returns_400(self, url):
         with pytest.raises(urllib.error.HTTPError) as e:

@@ -264,6 +264,9 @@ class DemoPipeline:
                 batch["bbox_info"],
                 train=False,
                 full_x=full_x,
+                # per-crop precomputed camera rotation (the coalesced-
+                # serving path: CamCalib ran separately per unique frame)
+                cam_rotmat=batch.get("cam_rotmat"),
             )
             vis = out["vis"]
             return {
@@ -299,6 +302,21 @@ class DemoPipeline:
                 lambda x: x.sharding, self.variables
             )
             self._fwd = jax.jit(fwd, in_shardings=(var_shardings, rep, dp, rep))
+
+        def cam_fwd(variables, full_u8):
+            mean = jnp.asarray(IMG_NORM_MEAN, jnp.float32)
+            std = jnp.asarray(IMG_NORM_STD, jnp.float32)
+            full_x = (full_u8.astype(jnp.float32) / 255.0 - mean) / std
+            from whmr_tpu.models.whmr import WHMR
+
+            return self.model.apply(
+                variables, full_x, train=False, method=WHMR.camcalib
+            )
+
+        # CamCalib-only graph for coalesced serving: one call per UNIQUE
+        # frame, crops then batch with per-crop cam_rotmat (serve_cli
+        # BatchingExecutor). Lazy jit; unused unless camcalib coalescing.
+        self._cam_fwd = jax.jit(cam_fwd)
 
     def _init_from_bundle(self, bundle: str) -> None:
         """Serve the demo from a whmr-export bundle: the frozen AOT graph
@@ -357,6 +375,9 @@ class DemoPipeline:
             )
 
         self._fwd = fwd
+        # bundles trace CamCalib inside the frozen graph: no standalone
+        # camcalib entry, so camcalib coalescing needs the live model
+        self._cam_fwd = None
 
     def dispatch_image(self, image: np.ndarray, name: str = "", dets=None):
         """Async half of run_image: detect + crop on host, dispatch the

@@ -21,13 +21,17 @@ Protocol (stdlib-only on both sides — no framework needed in clients):
   `?format=json` for a json body instead (lists — large!).
 
 Concurrency: requests are decoded in parallel (ThreadingHTTPServer) and
-— when CamCalib is off — their person crops are COALESCED into shared
-device batches (`BatchingExecutor`): the chip sees one padded batch of
-`max_people` rows regardless of how many clients contributed, so
-concurrent load raises utilization instead of queueing whole-batch
-launches. With CamCalib on, the full frame is tied to the whole batch
-(whmr.py:194-199), so requests fall back to one device call each behind
-a lock. `GET /stats` reports the coalescing ratio.
+their person crops are COALESCED into shared device batches
+(`BatchingExecutor`): the chip sees one padded batch of `max_people`
+rows regardless of how many clients contributed, so concurrent load
+raises utilization instead of queueing whole-batch launches. With
+CamCalib on (live model), the calibration net runs ONCE per unique frame
+(content-hash cache) through a standalone jitted graph and its rotation
+rides each crop row as `cam_rotmat` — the reference's own per-image
+protocol (tester.py:100-104,151-162) at coalesced throughput. Frozen
+camcalib bundles trace the full frame into the batch-global graph and
+fall back to one device call per request behind a lock. `GET /stats`
+reports the coalescing ratio and the CamCalib cache hit rate.
 
 Scale-out: `--data_parallel N` (live --checkpoint mode) shards every
 device batch over an N-chip 'data' mesh — coalesced crops from all
@@ -164,9 +168,9 @@ def _parse_infer_body(body: bytes):
 
 class _Request:
     __slots__ = ("batch", "n", "dets", "event", "result", "error",
-                 "cancelled")
+                 "cancelled", "render_rotmat")
 
-    def __init__(self, batch, n, dets):
+    def __init__(self, batch, n, dets, render_rotmat=None):
         self.batch = batch      # unpadded host arrays, n rows each
         self.n = n              # valid crops (0 = no detections)
         self.dets = dets
@@ -174,6 +178,10 @@ class _Request:
         self.result = None
         self.error = None
         self.cancelled = False  # set by a timed-out submit; worker skips it
+        # camcalib coalescing: the pitch-flipped overlay rotation computed
+        # by the per-frame CamCalib call (the batched graph only sees
+        # cam_rotmat and would echo it back as render_rotmat)
+        self.render_rotmat = render_rotmat
 
 
 class BatchingExecutor:
@@ -184,17 +192,22 @@ class BatchingExecutor:
     batch capacity (= the pipeline/bundle batch) is full or `max_wait_ms`
     elapses after the first one, pads to capacity, runs ONE forward, and
     scatters row ranges back. Rows are independent in the eval-mode graph
-    (no cross-crop ops with CamCalib off), so results are identical to
-    per-request calls — proven in tests/test_serve.py."""
+    (with CamCalib on, the only cross-crop input — the full frame — is
+    replaced by a per-crop `cam_rotmat` computed once per unique frame),
+    so results are identical to per-request calls — proven in
+    tests/test_serve.py."""
 
-    def __init__(self, pipeline, max_wait_ms: float = 2.0, start: bool = True):
+    def __init__(self, pipeline, max_wait_ms: float = 2.0, start: bool = True,
+                 cam_cache_size: int = 64):
         import numpy as np  # noqa: F401  (used throughout)
 
-        if pipeline.use_camcalib:
+        if pipeline.use_camcalib and getattr(pipeline, "_cam_fwd", None) is None:
             raise ValueError(
-                "coalescing requires camcalib off: the CamCalib frame is "
-                "shared by the whole batch, so crops from different images "
-                "cannot share one forward"
+                "camcalib coalescing needs the live model: a frozen bundle "
+                "traces CamCalib inside the whole-batch graph (its frame is "
+                "batch-global), so crops from different images cannot share "
+                "one forward — serve the bundle with --no_coalesce or "
+                "re-export without camcalib"
             )
         self.pipeline = pipeline
         self.capacity = int(pipeline.max_people)
@@ -203,10 +216,56 @@ class BatchingExecutor:
         self._carry = None  # request that did not fit the previous batch
         self._stop = threading.Event()
         self.stats = {"requests": 0, "device_batches": 0,
-                      "coalesced_requests": 0, "crops": 0}
+                      "coalesced_requests": 0, "crops": 0,
+                      "camcalib_calls": 0, "camcalib_cache_hits": 0}
+        # Per-frame CamCalib cache (round-4): CamCalib runs ONCE per unique
+        # image (content-hashed), its rotation rides each crop row as
+        # `cam_rotmat`, and crops from different frames share device
+        # batches — the reference's own per-image protocol
+        # (tester.py:100-104,151-162) at coalesced throughput.
+        self._cam_cache: "dict[bytes, tuple]" = {}
+        self._cam_cache_size = int(cam_cache_size)
+        self._cam_lock = threading.Lock()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         if start:
             self._thread.start()
+
+    def _camcalib_for(self, image):
+        """(cam_rotmat (3,3), render_rotmat (3,3)) for a frame, cached by
+        content hash. The CamCalib-only graph runs at most once per unique
+        image; repeated frames (video streams, multi-crop clients) hit the
+        cache."""
+        import hashlib
+
+        import numpy as np
+
+        from whmr_tpu.inference.pipeline import prepare_full_image
+
+        key = hashlib.sha1(np.ascontiguousarray(image)).digest()
+        with self._cam_lock:
+            hit = self._cam_cache.get(key)
+            if hit is not None:
+                self.stats["camcalib_cache_hits"] += 1
+                return hit
+        full_u8 = prepare_full_image(
+            self.pipeline.cfg, image, raw_uint8=True
+        )[None]  # batched (1, H, W, 3) — the graph is traced batch-first
+        import jax
+        import jax.numpy as jnp
+
+        cam, render = jax.device_get(
+            self.pipeline._cam_fwd(
+                self.pipeline.variables, jnp.asarray(full_u8)
+            )
+        )
+        out = (np.asarray(cam[0]), np.asarray(render[0]))
+        with self._cam_lock:
+            self.stats["camcalib_calls"] += 1
+            if len(self._cam_cache) >= self._cam_cache_size:
+                # drop the oldest entry (dict preserves insertion order)
+                self._cam_cache.pop(next(iter(self._cam_cache)))
+            self._cam_cache[key] = out
+        return out
 
     # -- request side ----------------------------------------------------
     def submit(self, image, dets=None, timeout: float = 600.0):
@@ -226,7 +285,13 @@ class BatchingExecutor:
         batch = prepare_crop_batch(pl.cfg, image, dets, max(n, 1),
                                    raw_uint8=True)
         batch = {k: v for k, v in batch.items() if k != "valid"}
-        req = _Request(batch, n, dets)
+        render_rotmat = None
+        if pl.use_camcalib:
+            cam, render_rotmat = self._camcalib_for(image)
+            batch["cam_rotmat"] = np.tile(
+                cam[None].astype(np.float32), (max(n, 1), 1, 1)
+            )
+        req = _Request(batch, n, dets, render_rotmat=render_rotmat)
         self.q.put(req)
         if not req.event.wait(timeout):
             # best-effort: if the worker has not yet grouped it, the orphan
@@ -289,6 +354,10 @@ class BatchingExecutor:
             combined["scale"][rows:] = 1.0
             combined["bbox_height"][rows:] = 1.0
             combined["orig_shape"][rows:] = last_shape
+            if "cam_rotmat" in combined:
+                # identity, not zeros: a zero rotmat feeds Gram-Schmidt a
+                # zero vector (NaN row) in the global-orient head
+                combined["cam_rotmat"][rows:] = np.eye(3, dtype=np.float32)
         out = pl._fwd(pl.variables, pl.consts,
                       {k: jnp.asarray(v) for k, v in combined.items()}, None)
         out_host = jax.device_get(out)
@@ -296,6 +365,13 @@ class BatchingExecutor:
         for r in group:
             span = max(r.n, 1)
             result = {k: v[start:start + r.n] for k, v in out_host.items()}
+            if r.render_rotmat is not None and r.n:
+                # the batched graph echoes cam_rotmat as render_rotmat
+                # (models/whmr.py explicit-rotation branch); substitute the
+                # per-frame pitch-flipped overlay rotation CamCalib computed
+                result["render_rotmat"] = np.tile(
+                    r.render_rotmat[None], (r.n, 1, 1)
+                )
             result["n_people"] = r.n
             result["detections"] = detections_array(r.dets)
             r.result = result
@@ -548,7 +624,9 @@ def main(argv=None):
                 or {"source": "live checkpoint",
                     "crop_hw": list(pipeline.cfg.crop_hw)})
     executor = None
-    if not pipeline.use_camcalib and not args.no_coalesce:
+    can_coalesce = (not pipeline.use_camcalib
+                    or getattr(pipeline, "_cam_fwd", None) is not None)
+    if can_coalesce and not args.no_coalesce:
         executor = BatchingExecutor(pipeline,
                                     max_wait_ms=args.coalesce_wait_ms)
     if args.warmup:

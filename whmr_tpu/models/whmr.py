@@ -25,7 +25,7 @@ Fixes vs. the shipped reference (documented deviations, SURVEY.md §7
 from __future__ import annotations
 
 from dataclasses import field
-from typing import Any, Dict, Optional
+from typing import Any, Dict, Optional, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -182,15 +182,7 @@ class WHMR(nn.Module):
         # renderer (whmr.py:522).
         if cam_rotmat is None:
             if full_x is not None:
-                (vfov_l, pitch_l, roll_l), _ = self.cam_model(full_x, train=train)
-                vfov, pitch, roll = decode_cam_angles(vfov_l, pitch_l, roll_l)
-                zeros = jnp.zeros_like(pitch)
-                cam_rotmat = lax.stop_gradient(
-                    euler_to_rotmat(jnp.stack([pitch, zeros, roll], axis=-1))
-                )
-                render_rotmat = lax.stop_gradient(
-                    euler_to_rotmat(jnp.stack([-pitch, zeros, roll], axis=-1))
-                )
+                cam_rotmat, render_rotmat = self.camcalib(full_x, train=train)
                 if full_x.shape[0] == 1 and batch_size > 1:
                     # Demo path: all crops come from the SAME frame — ship
                     # the full image once and broadcast the camera rotation
@@ -336,6 +328,29 @@ class WHMR(nn.Module):
             "local_pose": smpl_output["pose"],
         }
         return out
+
+    def camcalib(
+        self, full_x: jnp.ndarray, train: bool = False
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """CamCalib alone: full frames -> (cam_rotmat, render_rotmat).
+
+        The decode block of step 1 (reference whmr.py:509-524): bins ->
+        detached softargmax -> euler angles; render_rotmat flips pitch
+        for the overlay renderer (whmr.py:522). Exposed as an apply-able
+        method so serving can run CamCalib ONCE per unique frame and feed
+        crops into coalesced batches with per-crop `cam_rotmat` (the
+        reference's own per-image protocol, tester.py:100-104,151-162).
+        """
+        (vfov_l, pitch_l, roll_l), _ = self.cam_model(full_x, train=train)
+        vfov, pitch, roll = decode_cam_angles(vfov_l, pitch_l, roll_l)
+        zeros = jnp.zeros_like(pitch)
+        cam_rotmat = lax.stop_gradient(
+            euler_to_rotmat(jnp.stack([pitch, zeros, roll], axis=-1))
+        )
+        render_rotmat = lax.stop_gradient(
+            euler_to_rotmat(jnp.stack([-pitch, zeros, roll], axis=-1))
+        )
+        return cam_rotmat, render_rotmat
 
     def iuv_logits(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         """Full-frame dense-IUV part logits: backbone -> pyramid -> dp_head.

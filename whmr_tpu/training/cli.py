@@ -31,6 +31,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write a metrics.jsonl record every N steps")
     p.add_argument("--save_every", type=int, default=None,
                    help="also checkpoint every N batches (mid-epoch resume)")
+    p.add_argument("--save_epochs", type=int, default=1,
+                   help="checkpoint every K epoch boundaries (plus the "
+                        "final one); >1 keeps small-dataset runs from "
+                        "being dominated by checkpoint writes")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--pretrained", default=None,
                    help="init weights from a torch .pt/.pth (full WHMR or "
@@ -50,6 +54,18 @@ def build_parser() -> argparse.ArgumentParser:
                         "microbatches per optimizer step (batch_size % K "
                         "== 0); ~K x less activation memory at the same "
                         "effective batch")
+    p.add_argument("--host_norm", action="store_true",
+                   help="normalize crops on the host (f32 feed) instead "
+                        "of the default uint8 feed + in-graph "
+                        "normalization (bit-identical math, 4x less "
+                        "host->device traffic — train_step.device_normalize)")
+    p.add_argument("--no_aug", action="store_true",
+                   help="disable train-time augmentation (deterministic "
+                        "samples; the overfit-regression protocol)")
+    p.add_argument("--cache_images", action="store_true",
+                   help="memoize decoded images in RAM (small datasets "
+                        "only; removes the per-step PNG decode, the feed "
+                        "bottleneck on low-core hosts)")
     p.add_argument("--loader_procs", type=int, default=0,
                    help="fork-based loader worker processes (0 = GIL-bound "
                         "threads; use ~cores/8 per chip to keep the aux-on "
@@ -99,7 +115,10 @@ def main(argv=None):
         raise SystemExit("--train_npz is required (reference-format label npz)")
     img_dirs = args.img_dir or [os.path.dirname(p) for p in args.train_npz]
     datasets = [
-        NpzDataset(cfg, npz, img_dir, name=os.path.basename(npz), is_train=True)
+        NpzDataset(cfg, npz, img_dir, name=os.path.basename(npz),
+                   is_train=True, use_augmentation=not args.no_aug,
+                   cache_images=args.cache_images,
+                   device_norm=not args.host_norm)
         for npz, img_dir in zip(args.train_npz, img_dirs)
     ]
     dataset = datasets[0] if len(datasets) == 1 else MixtureDataset(datasets)
@@ -151,6 +170,7 @@ def main(argv=None):
         steps_per_epoch=args.steps_per_epoch,
         log_every=args.log_every,
         save_every=args.save_every,
+        save_epochs=args.save_epochs,
     )
     print(f"done at step {int(trainer.state.step)}; logs in {log_dir}")
 

@@ -131,6 +131,33 @@ def create_train_state(
     )
 
 
+def device_normalize(img: jnp.ndarray, pixel_noise: jnp.ndarray) -> jnp.ndarray:
+    """uint8 crop + per-channel noise -> normalized f32 on DEVICE.
+
+    Bit-matches the host finalize_crop chain (augment.py: crop*pn, clip
+    to [0,255], /255, ImageNet mean/std) so the loader can ship uint8:
+    4x less host->device traffic — on the tunnel host this is the train
+    feed bottleneck (1.5 MB vs 6 MB per B64 step), and the elementwise
+    chain fuses into the first conv's input for free."""
+    from whmr_tpu.config import IMG_NORM_MEAN, IMG_NORM_STD
+
+    out = img.astype(jnp.float32) * pixel_noise[:, None, None, :]
+    out = jnp.clip(out, 0.0, 255.0) / 255.0
+    mean = jnp.asarray(IMG_NORM_MEAN, jnp.float32)
+    std = jnp.asarray(IMG_NORM_STD, jnp.float32)
+    return (out - mean) / std
+
+
+def _model_input(batch: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+    """batch['img'] as normalized f32: passthrough for the host-normalized
+    f32 schema, device_normalize for the uint8 feed (dtype is static at
+    trace time, so both schemas share one code path with no runtime cost)."""
+    img = batch["img"]
+    if img.dtype == jnp.uint8:
+        return device_normalize(img, batch["pixel_noise"])
+    return img
+
+
 def _microbatch_grads(
     cfg: WHMRConfig,
     model: WHMR,
@@ -214,7 +241,7 @@ def _microbatch_grads(
         preds, mutated = model.apply(
             variables,
             consts,
-            batch["img"],
+            _model_input(batch),
             batch["center"],
             batch["scale"],
             batch["bbox_height"],
@@ -368,7 +395,7 @@ def hmr_train_step(
     def loss_fn(params):
         variables = {"params": params, "batch_stats": state.batch_stats}
         (rotmat, betas, cam), mutated = model.apply(
-            variables, consts, batch["img"], train=True,
+            variables, consts, _model_input(batch), train=True,
             rngs={"dropout": rng}, mutable=["batch_stats"],
         )
         out = smpl_forward(consts.smpl, betas, rotmat)

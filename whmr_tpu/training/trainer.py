@@ -520,6 +520,7 @@ class Trainer:
         steps_per_epoch: Optional[int] = None,
         log_every: int = 100,
         save_every: Optional[int] = None,
+        save_epochs: int = 1,
     ):
         """Full fit loop (reference trainer.py:638-665).
 
@@ -527,6 +528,10 @@ class Trainer:
         validate_fn(state) -> dict with 'pa_mpjpe' for best-ckpt tracking.
         save_every: also checkpoint mid-epoch every N batches (with the
           batch_idx payload enabling mid-epoch resume).
+        save_epochs: checkpoint every K epoch boundaries (always the
+          final one). The reference saves per epoch, but its epochs are
+          165k samples (mixed_dataset.py:64); with small datasets the
+          per-epoch orbax write would dominate wall-clock.
         """
         num_epochs = num_epochs or self.cfg.train.num_epochs
         resume_batch = self.batch_idx  # only the resumed (first) epoch skips
@@ -548,5 +553,6 @@ class Trainer:
             # saver call sites trainer.py:362,662 save epoch+1 with batch 0)
             # so a resume continues at E+1 instead of retraining epoch E.
             self.epoch = epoch + 1
-            self.save(metric=metric)
+            if (epoch + 1) % max(save_epochs, 1) == 0 or epoch + 1 == num_epochs:
+                self.save(metric=metric)
         return self.state
