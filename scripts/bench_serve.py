@@ -46,6 +46,20 @@ def build_parser():
     p.add_argument("--data_parallel", type=int, default=0)
     p.add_argument("--tensor_parallel", type=int, default=0)
     p.add_argument("--no_coalesce", action="store_true")
+    p.add_argument("--camcalib", action="store_true",
+                   help="enable CamCalib (live-checkpoint mode): each "
+                        "request's frame runs the per-frame calibration "
+                        "graph once (content-hash cached) and its crops "
+                        "coalesce with per-crop cam_rotmat — load-tests "
+                        "the round-4 camcalib-coalescing path")
+    p.add_argument("--fields", default=None,
+                   help="comma list: project /infer responses to these "
+                        "output keys (e.g. pred_cam_t,global_pose — the "
+                        "full payload is verts-dominated, ~160 KB/person)")
+    p.add_argument("--unique_frames", type=int, default=0,
+                   help="cycle this many distinct request images (0 = one "
+                        "shared image; with --camcalib, sizes the cam "
+                        "cache hit rate)")
     p.add_argument("--tiny", action="store_true",
                    help="tiny model config (CPU smoke runs)")
     p.add_argument("--dtype", default=None, choices=["fp32", "bf16"],
@@ -60,6 +74,15 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+
+    if args.tiny:
+        # CPU smoke MUST NOT dial the axon pool: a second client queues —
+        # or worse, steals the grant between a sibling's processes and
+        # kills its next device call (observed: FailedPrecondition on a
+        # concurrent eval). In-process override per CLAUDE.md.
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from whmr_tpu.utils.profiling import enable_compile_cache
 
@@ -93,7 +116,7 @@ def main(argv=None):
         )
         pipe = DemoPipeline(
             cfg, {"params": state.params, "batch_stats": state.batch_stats},
-            assets, max_people=args.max_people, use_camcalib=False,
+            assets, max_people=args.max_people, use_camcalib=args.camcalib,
             mesh=serving_mesh(args),
         )
     else:
@@ -103,10 +126,15 @@ def main(argv=None):
 
         from whmr_tpu.inference.demo_cli import build_pipeline
 
+        if args.camcalib and args.bundle:
+            raise SystemExit("--camcalib load-testing needs --checkpoint "
+                             "(live model): camcalib bundles trace the "
+                             "frame into the batch-global graph and cannot "
+                             "coalesce")
         pipe = build_pipeline(Namespace(
             misc=args.misc, cfg_file=args.cfg_file, data_dir=args.data_dir,
             checkpoint=args.checkpoint, bundle=args.bundle,
-            max_people=args.max_people, no_camcalib=True,
+            max_people=args.max_people, no_camcalib=not args.camcalib,
             data_parallel=args.data_parallel,
             tensor_parallel=args.tensor_parallel,
             # bf16 for the live model (the headline bench's setting);
@@ -134,23 +162,57 @@ def main(argv=None):
         rng.uniform(120, 520, args.people), rng.uniform(120, 360, args.people),
         rng.uniform(120, 240, args.people),
     ], axis=-1).astype(np.float32)
-    buf = io.BytesIO()
-    np.savez(buf, image=img, bboxes=boxes)
-    body = buf.getvalue()
+
+    def make_body(image):
+        buf = io.BytesIO()
+        np.savez(buf, image=image, bboxes=boxes)
+        return buf.getvalue()
+
+    # --unique_frames N: cycle N distinct images so per-frame work
+    # (CamCalib calls, cache behavior) is exercised realistically
+    n_imgs = max(args.unique_frames, 1)
+    bodies = [make_body(img)] + [
+        make_body(rng.randint(0, 255, (480, 640, 3), np.uint8))
+        for _ in range(n_imgs - 1)
+    ]
     url = f"http://127.0.0.1:{port}/infer"
+    if args.fields:
+        url += f"?fields={args.fields}"
+    req_counter = [0]
 
     def post():
+        with lat_lock:
+            req_counter[0] += 1
+            body = bodies[req_counter[0] % len(bodies)]
         req = urllib.request.Request(url, data=body, method="POST")
         with urllib.request.urlopen(req, timeout=600) as r:
             return r.read()
 
-    post()  # warmup: compile before timing
+    latencies = []
+    lat_lock = threading.Lock()
+
+    for b in bodies:  # warmup: compile + fill the cam cache before timing
+        for attempt in range(4):
+            try:
+                urllib.request.urlopen(
+                    urllib.request.Request(url, data=b, method="POST"),
+                    timeout=600,
+                ).read()
+                break
+            except urllib.error.HTTPError as e:
+                # transient TPU-grant handover right after another client
+                # exits surfaces as a 500 for a few seconds — show the
+                # server's error body and retry
+                detail = e.read().decode(errors="replace")[:300]
+                print(f"[bench_serve] warmup attempt {attempt}: "
+                      f"HTTP {e.code} {detail}", file=sys.stderr, flush=True)
+                if attempt == 3:
+                    raise
+                time.sleep(5.0 * (attempt + 1))
     print(f"[bench_serve] warm, starting {args.clients} clients x "
           f"{args.seconds:.0f}s (people/request={k}, "
           f"capacity={args.max_people})", file=sys.stderr, flush=True)
 
-    latencies = []
-    lat_lock = threading.Lock()
     stop_at = time.perf_counter() + args.seconds
     errors = [0]
 
@@ -201,6 +263,13 @@ def main(argv=None):
             stats["device_batches"] / max(stats["requests"], 1), 3
         ) if stats else None,
     }
+    if stats.get("camcalib_calls"):
+        out["camcalib_calls"] = stats["camcalib_calls"]
+        out["camcalib_cache_hit_rate"] = round(
+            stats["camcalib_cache_hits"]
+            / max(stats["camcalib_calls"] + stats["camcalib_cache_hits"], 1),
+            3,
+        )
     print(json.dumps(out))
 
 

@@ -110,6 +110,22 @@ class TestServe:
         np.testing.assert_allclose(out["detections"][:, 0], [100.0, 300.0])
         np.testing.assert_allclose(out["detections"][:, 3], 1.0)
 
+    def test_infer_fields_projection(self, url):
+        """?fields=k1,k2 slims the response to chosen output keys (plus
+        the n_people/detections scalars); unknown keys -> 400 with the
+        available list."""
+        img = np.random.RandomState(3).randint(0, 255, (96, 96, 3), np.uint8)
+        ok, png = cv2.imencode(".png", img)
+        status, _, body = _post(url + "/infer?fields=pred_cam_t", png.tobytes())
+        assert status == 200
+        out = np.load(io.BytesIO(body))
+        assert set(out.files) == {"pred_cam_t", "n_people", "detections"}
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(url + "/infer?fields=nope", png.tobytes())
+        assert e.value.code == 400
+        err = json.loads(e.value.read())
+        assert "nope" in err["error"] and "verts" in err["available"]
+
     def test_infer_json_format(self, url):
         img = np.random.RandomState(2).randint(0, 255, (64, 64, 3), np.uint8)
         ok, jpg = cv2.imencode(".jpg", img)

@@ -515,7 +515,27 @@ class WHMRServer:
                 except Exception as e:  # surface as 500, keep serving
                     self._json(500, {"error": f"{type(e).__name__}: {e}"})
                     return
-                if "format=json" in (self.path.split("?", 1) + [""])[1]:
+                query = (self.path.split("?", 1) + [""])[1]
+                # ?fields=a,b,c — project the response to chosen output
+                # keys (scalars n_people/detections always ride along):
+                # the full payload is verts-dominated (~160 KB/person),
+                # and many clients only want the parametric outputs
+                from urllib.parse import parse_qs
+
+                q = parse_qs(query)
+                want = q.get("fields", [""])[0]
+                if want:
+                    keep = {f.strip() for f in want.split(",") if f.strip()}
+                    keep |= {"n_people", "detections"}
+                    unknown = keep - set(result)
+                    if unknown:
+                        self._json(400, {
+                            "error": f"unknown fields {sorted(unknown)}",
+                            "available": sorted(result),
+                        })
+                        return
+                    result = {k: v for k, v in result.items() if k in keep}
+                if "json" in q.get("format", []):
                     self._reply(200, _result_to_json_bytes(result),
                                 "application/json")
                 else:
