@@ -63,9 +63,12 @@ def main(argv=None):
                 cfg, model, consts, jax.random.PRNGKey(0),
                 {k: jnp.asarray(v) for k, v in example.items()},
             )
+            import numpy as np
+
             restored = CheckpointManager(args.checkpoint).restore_weights(
                 {"params": state.params, "batch_stats": state.batch_stats,
-                 "opt_state": state.opt_state}
+                 "opt_state": state.opt_state,
+                 "step": np.zeros((), np.int32), "epoch": 0, "batch_idx": 0}
             )
             if restored is None:
                 raise SystemExit(f"no checkpoint in {args.checkpoint}")

@@ -61,18 +61,52 @@ def device_pids(events) -> set:
     return pids
 
 
-def summarize(events, pids, steps: int = 1):
+def op_lanes(events, pids) -> set:
+    """(pid, tid) of the per-op device lanes. xprof lays a device pid out
+    as parallel tids — Steps (step-number spans), XLA Modules (one span
+    per program execution), XLA Ops (the real per-fusion timeline),
+    Async/Overlay extras. Summing across lanes double-counts: a module
+    span covers all its ops. Keep the 'XLA Ops' lanes only."""
+    lanes = set()
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "thread_name" \
+                and e.get("pid") in pids:
+            if (e.get("args") or {}).get("name") == "XLA Ops":
+                lanes.add((e.get("pid"), e.get("tid")))
+    return lanes
+
+
+def _leaf_events(events, keep_lanes):
+    """Keep only LEAF X-events per (pid, tid): even within one lane,
+    nested spans would double-count. An event is a leaf if no other
+    event starts inside it."""
+    lanes = defaultdict(list)
+    for e in events:
+        if e.get("ph") == "X" and (e.get("pid"), e.get("tid")) in keep_lanes:
+            lanes[(e["pid"], e.get("tid"))].append(e)
+    leaves = []
+    for evs in lanes.values():
+        evs.sort(key=lambda e: (float(e.get("ts", 0)), -float(e.get("dur", 0))))
+        for i, e in enumerate(evs):
+            end = float(e.get("ts", 0)) + float(e.get("dur", 0))
+            nxt = evs[i + 1] if i + 1 < len(evs) else None
+            # sorted by start: the only candidate child starts right after
+            if nxt is not None and float(nxt.get("ts", 0)) < end:
+                continue  # has a child -> aggregate span
+            leaves.append(e)
+    return leaves
+
+
+def summarize(events, lanes, steps: int = 1):
     tot = defaultdict(float)
     cnt = defaultdict(int)
-    for e in events:
-        if e.get("ph") != "X" or e.get("pid") not in pids:
-            continue
+    for e in _leaf_events(events, lanes):
         name = e.get("name", "?")
         tot[name] += float(e.get("dur", 0.0))  # us
         cnt[name] += 1
     rows = [
         {"op": k, "ms_per_step": round(v / 1e3 / steps, 3),
-         "calls": cnt[k] // steps if steps else cnt[k]}
+         "calls": round(cnt[k] / steps, 1)}
         for k, v in tot.items()
     ]
     rows.sort(key=lambda r: -r["ms_per_step"])
@@ -91,19 +125,20 @@ def main(argv=None):
     path = find_trace_file(args.trace_dir)
     events = load_events(path)
     pids = device_pids(events)
-    if not pids:
-        # fall back: lanes with XLA-looking event names (fusion/copy/conv)
+    lanes = op_lanes(events, pids)
+    if not lanes:
+        # fall back: the lane with the most XLA-looking event names
         cand = defaultdict(int)
         for e in events:
             if e.get("ph") == "X" and re.search(
                 r"fusion|dot|conv|copy|dynamic|reduce|%|loop_", e.get("name", "")
             ):
-                cand[e.get("pid")] += 1
+                cand[(e.get("pid"), e.get("tid"))] += 1
         if cand:
-            pids = {max(cand, key=cand.get)}
-    rows, total = summarize(events, pids, steps=max(args.steps, 1))
-    print(json.dumps({"trace": path, "device_pids": sorted(pids),
-                      "device_ms_per_step": round(total, 2)}))
+            lanes = {max(cand, key=cand.get)}
+    rows, total = summarize(events, lanes, steps=max(args.steps, 1))
+    print(json.dumps({"trace": path, "op_lanes": sorted(lanes),
+                      "device_op_ms_per_step": round(total, 2)}))
     for r in rows[: args.top]:
         print(json.dumps(r))
 
