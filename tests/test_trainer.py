@@ -195,6 +195,20 @@ class TestTrainer:
         )
         assert int(trainer2.state.step) == 3 + 1 + 4
 
+    def test_log_every_spans_epochs(self, tmp_path):
+        """log_every larger than the epoch length must still log: the
+        cadence counts optimizer steps across epochs, not the per-epoch
+        batch index (a 4-step overfit epoch with --log_every 8 logged
+        NOTHING for 4000 steps before this fix)."""
+        cfg = tiny_config()
+        trainer = Trainer(cfg, str(tmp_path / "runL"), aux_rendering=False)
+        # 2-batch epochs, log_every=3: logs at cumulative steps 3 and 6.
+        trainer.fit(lambda epoch: batch_iter(cfg, n_batches=2), num_epochs=3,
+                    log_every=3)
+        with open(trainer.metrics.path) as f:
+            steps = [__import__("json").loads(l)["step"] for l in f]
+        assert steps == [3, 6]
+
     def test_lr_decay_at_epoch_boundary(self):
         """LR decays by gamma when the step count crosses a decay epoch
         (reference trainer.py:330-338); epochs are converted to steps."""

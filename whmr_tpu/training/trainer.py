@@ -173,6 +173,12 @@ class Trainer:
         # Mid-epoch resume position (reference base_trainer.py:45-48,
         # trainer.py:346: `checkpoint_batch_idx` skips already-seen batches).
         self.batch_idx = 0
+        # Host-side optimizer-step counter for log/save cadence. Counts
+        # steps taken by THIS process across epochs — the per-epoch batch
+        # index would never hit a log_every/save_every larger than the
+        # epoch length (e.g. a 4-step overfit epoch with --log_every 8
+        # logged nothing), and reading state.step forces a device sync.
+        self.steps_seen = 0
         self.rng = jax.random.PRNGKey(seed + 1)
         # Preemption flag: set by install_preemption_handler's SIGTERM
         # handler; train_epoch checkpoints and exits at the next batch
@@ -428,13 +434,14 @@ class Trainer:
                 self.state, self.consts, batch, step_rng
             )
             self.batch_idx = i + 1
-            if (log_every and (i + 1) % log_every == 0) or (
+            self.steps_seen += 1
+            if (log_every and self.steps_seen % log_every == 0) or (
                 max_steps is not None and i == max_steps - 1
             ):
                 last = {k: float(v) for k, v in metrics.items()}
                 self.metrics.write(int(self.state.step), last)
             saved_this_step = False
-            if save_every and (i + 1) % save_every == 0:
+            if save_every and self.steps_seen % save_every == 0:
                 # async disk write: training resumes after the host snapshot
                 self.save(batch_idx=i + 1, block=False)
                 saved_this_step = True
