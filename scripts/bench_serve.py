@@ -127,10 +127,23 @@ def main(argv=None):
         from whmr_tpu.inference.demo_cli import build_pipeline
 
         if args.camcalib and args.bundle:
-            raise SystemExit("--camcalib load-testing needs --checkpoint "
-                             "(live model): camcalib bundles trace the "
-                             "frame into the batch-global graph and cannot "
-                             "coalesce")
+            # split bundles carry a per-frame CamCalib graph and coalesce
+            # exactly like the live model; batch-mode bundles trace the
+            # frame into the batch-global graph and cannot
+            import os
+
+            meta = json.load(
+                open(os.path.join(args.bundle, "meta.json"))
+            )
+            mode = meta.get("camcalib_mode") or (
+                "batch" if meta.get("camcalib") else ""
+            )
+            if mode != "split":
+                raise SystemExit(
+                    "--camcalib load-testing needs --checkpoint (live "
+                    "model) or a `whmr-export --camcalib split` bundle: "
+                    f"this bundle's camcalib_mode is {mode or 'off'!r}"
+                )
         pipe = build_pipeline(Namespace(
             misc=args.misc, cfg_file=args.cfg_file, data_dir=args.data_dir,
             checkpoint=args.checkpoint, bundle=args.bundle,
@@ -146,6 +159,22 @@ def main(argv=None):
     executor = None
     if not args.no_coalesce:
         executor = BatchingExecutor(pipe, max_wait_ms=2.0)
+
+    # compile BEFORE any socket exists: cold bundle/model compiles through
+    # the tunnel can exceed any sane HTTP timeout (observed >600 s for a
+    # split bundle's two graphs), and a timed-out warmup request kills the
+    # run while the server is mid-compile
+    from whmr_tpu.inference.pipeline import Detection
+
+    _wimg = np.zeros((480, 640, 3), np.uint8)
+    _wdet = [Detection(320.0, 240.0, 180.0)]
+    if executor is not None:
+        executor.submit(_wimg, dets=_wdet)
+    else:
+        pipe.run_image(_wimg, dets=_wdet)
+    print("[bench_serve] in-process compile warmup done",
+          file=sys.stderr, flush=True)
+
     server = WHMRServer(pipe, {"bench": True}, executor=executor)
     httpd = server.bind("127.0.0.1", 0)
     port = httpd.server_address[1]
@@ -209,6 +238,10 @@ def main(argv=None):
                 if attempt == 3:
                     raise
                 time.sleep(5.0 * (attempt + 1))
+    if executor is not None:
+        # report coalescing/camcalib ratios for the timed window only
+        for key in executor.stats:
+            executor.stats[key] = 0
     print(f"[bench_serve] warm, starting {args.clients} clients x "
           f"{args.seconds:.0f}s (people/request={k}, "
           f"capacity={args.max_people})", file=sys.stderr, flush=True)
@@ -263,7 +296,7 @@ def main(argv=None):
             stats["device_batches"] / max(stats["requests"], 1), 3
         ) if stats else None,
     }
-    if stats.get("camcalib_calls"):
+    if stats.get("camcalib_calls") or stats.get("camcalib_cache_hits"):
         out["camcalib_calls"] = stats["camcalib_calls"]
         out["camcalib_cache_hit_rate"] = round(
             stats["camcalib_cache_hits"]

@@ -124,6 +124,72 @@ class TestExport:
         assert np.isfinite(rot).all()
         assert not np.allclose(rot[0], np.eye(3), atol=1e-4)
 
+    def test_split_camcalib_bundle_matches_batch_mode(self, setup, tmp_path):
+        """`whmr-export --camcalib split` writes TWO graphs: a per-frame
+        CamCalib graph (camcalib.jaxexport) and a main graph taking
+        per-crop cam_rotmat — the frozen form of the coalesced-serving
+        protocol. Outputs must match the batch-mode camcalib bundle on
+        the same frame, including the pitch-flipped render_rotmat."""
+        from whmr_tpu.inference.export import export_camcalib
+
+        cfg, model, variables, consts, inputs = setup
+        ch, cw = cfg.cam_img_size
+        full_u8 = np.random.RandomState(3).randint(
+            0, 255, (1, ch, cw, 3), np.uint8
+        )
+        args = _call_args(cfg, inputs)
+
+        exp_b, flat = export_serving(
+            cfg, model, variables, consts, 2, camcalib="batch",
+            platforms=("cpu",),
+        )
+        dir_b = str(tmp_path / "bundle_batchcc")
+        save_exported(dir_b, exp_b, flat, cfg, 2, "batch")
+        ref = load_exported(dir_b)(**args, full_u8=full_u8)
+
+        exp_s, flat = export_serving(
+            cfg, model, variables, consts, 2, camcalib="split",
+            platforms=("cpu",),
+        )
+        cam_exp = export_camcalib(cfg, model, variables, consts,
+                                  platforms=("cpu",))
+        dir_s = str(tmp_path / "bundle_splitcc")
+        # split without its cam graph is an invalid artifact
+        with pytest.raises(ValueError, match="cam_exp"):
+            save_exported(dir_s, exp_s, flat, cfg, 2, "split")
+        save_exported(dir_s, exp_s, flat, cfg, 2, "split", cam_exp=cam_exp)
+        assert os.path.exists(os.path.join(dir_s, "camcalib.jaxexport"))
+        served = load_exported(dir_s)
+        assert served.camcalib_mode == "split"
+
+        # convenience path: full frame in, camcalib_fn routes it
+        got = served(**args, full_u8=full_u8)
+        for k in ("verts", "verts_world", "cam_rotmat", "render_rotmat",
+                  "focal_length"):
+            np.testing.assert_allclose(
+                np.asarray(got[k]), np.asarray(ref[k]), rtol=1e-5, atol=1e-5,
+            )
+        assert not np.allclose(np.asarray(got["cam_rotmat"])[0], np.eye(3),
+                               atol=1e-4)
+        # render_rotmat is the pitch-FLIPPED rotation, not the echo
+        assert not np.allclose(np.asarray(got["render_rotmat"]),
+                               np.asarray(got["cam_rotmat"]), atol=1e-6)
+
+        # explicit per-crop cam_rotmat (the coalesced-serving call shape)
+        d = served.camcalib_fn(full_u8)
+        cam = np.broadcast_to(np.asarray(d["cam_rotmat"]), (2, 3, 3))
+        got2 = served(**args, cam_rotmat=cam.astype(np.float32))
+        np.testing.assert_allclose(
+            np.asarray(got2["verts"]), np.asarray(ref["verts"]),
+            rtol=1e-5, atol=1e-5,
+        )
+        # neither input -> loud error
+        with pytest.raises(ValueError, match="split"):
+            served(**args)
+        # batch-mode bundles have no camcalib graph
+        with pytest.raises(ValueError, match="split"):
+            load_exported(dir_b).camcalib_fn(full_u8)
+
     def test_batch_polymorphic_bundle(self, setup, tmp_path):
         """batch_size=0 exports ONE artifact serving any batch size
         (jax.export symbolic dim), surviving serialization, and matching

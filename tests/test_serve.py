@@ -153,6 +153,34 @@ class TestServe:
         assert e.value.code == 404
 
 
+class TestPortableResponses:
+    def test_bf16_arrays_cast_to_f32_in_npz_and_json(self):
+        """A --bf16 traced graph returns ml_dtypes bfloat16 arrays; raw
+        npz would carry them as void bytes a plain-numpy client cannot
+        read (found driving the split bundle on the chip). The protocol
+        boundary must cast to float32."""
+        import io as _io
+
+        import jax.numpy as jnp
+
+        from whmr_tpu.inference.serve_cli import (
+            _result_to_json_bytes, _result_to_npz_bytes,
+        )
+
+        result = {
+            "render_rotmat": np.asarray(jnp.eye(3, dtype=jnp.bfloat16)[None]),
+            "verts": np.zeros((1, 4, 3), np.float32),
+            "n_people": 1,
+        }
+        z = np.load(_io.BytesIO(_result_to_npz_bytes(result)))
+        assert z["render_rotmat"].dtype == np.float32
+        np.testing.assert_allclose(z["render_rotmat"][0], np.eye(3))
+        import json as _json
+
+        j = _json.loads(_result_to_json_bytes(result))
+        assert j["render_rotmat"][0][0][0] == 1.0
+
+
 class TestParseBody:
     def test_npy_single_array_rejected(self):
         from whmr_tpu.inference.serve_cli import _parse_infer_body
@@ -484,9 +512,9 @@ class TestCamCalibCoalescing:
         finally:
             ex.shutdown()
 
-    def test_frozen_camcalib_bundle_rejected(self, cam_pipe, tmp_path):
-        """A camcalib bundle has no standalone CamCalib entry: the
-        executor must refuse it with a clear message."""
+    def test_frozen_batch_camcalib_bundle_rejected(self, cam_pipe, tmp_path):
+        """A batch-mode camcalib bundle has no standalone CamCalib entry:
+        the executor must refuse it with a pointer to --camcalib split."""
         from whmr_tpu.inference.serve_cli import BatchingExecutor
 
         class FrozenLike:
@@ -494,8 +522,63 @@ class TestCamCalibCoalescing:
             _cam_fwd = None
             max_people = 2
 
-        with pytest.raises(ValueError, match="live model"):
+        with pytest.raises(ValueError, match="camcalib split"):
             BatchingExecutor(FrozenLike(), start=False)
+
+    def test_split_bundle_coalesces_and_matches_live(self, cam_pipe, tmp_path):
+        """A `whmr-export --camcalib split` bundle coalesces like the live
+        model: the executor accepts it, CamCalib runs once per unique
+        frame through the frozen per-frame graph, and results match the
+        live pipeline's in-graph-CamCalib run_image."""
+        from whmr_tpu.data.assets import synthetic_smpl_assets
+        from whmr_tpu.inference.export import (
+            export_camcalib, export_serving, save_exported,
+        )
+        from whmr_tpu.inference.pipeline import DemoPipeline, Detection
+        from whmr_tpu.inference.serve_cli import BatchingExecutor
+
+        cfg = cam_pipe.cfg
+        model, variables = cam_pipe.model, cam_pipe.variables
+        consts = cam_pipe.consts
+        exp, flat = export_serving(
+            cfg, model, variables, consts, 2, camcalib="split",
+            platforms=("cpu",),
+        )
+        cam_exp = export_camcalib(cfg, model, variables, consts,
+                                  platforms=("cpu",))
+        out_dir = str(tmp_path / "bundle_split")
+        save_exported(out_dir, exp, flat, cfg, 2, "split", cam_exp=cam_exp)
+
+        pipe = DemoPipeline(cfg, None, synthetic_smpl_assets(), max_people=2,
+                            use_camcalib=True, bundle=out_dir)
+        assert pipe._cam_fwd is not None  # split bundles can coalesce
+        ex = BatchingExecutor(pipe, max_wait_ms=1.0, start=True)
+        rng = np.random.RandomState(7)
+        img = rng.randint(0, 255, (200, 160, 3), np.uint8)
+        dets = [Detection(80.0, 100.0, 90.0)]
+        try:
+            got = ex.submit(img, dets=dets)
+            assert ex.stats["camcalib_calls"] == 1
+        finally:
+            ex.shutdown()
+
+        ref = cam_pipe.run_image(img, dets=dets)  # live, in-graph CamCalib
+        np.testing.assert_allclose(got["verts"], ref["verts"],
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(got["verts_world"], ref["verts_world"],
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(got["cam_rotmat"], ref["cam_rotmat"],
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(got["render_rotmat"], ref["render_rotmat"],
+                                   rtol=1e-5, atol=1e-6)
+
+        # the whole-frame demo path works off the split bundle too
+        direct = pipe.run_image(img, dets=dets)
+        np.testing.assert_allclose(direct["verts"], ref["verts"],
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(direct["render_rotmat"],
+                                   ref["render_rotmat"],
+                                   rtol=1e-5, atol=1e-6)
 
 
 class TestServeGuards:

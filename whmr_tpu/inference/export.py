@@ -33,8 +33,26 @@ import numpy as np
 from whmr_tpu.config import IMG_NORM_MEAN, IMG_NORM_STD, WHMRConfig
 
 EXPORT_GRAPH = "forward.jaxexport"
+EXPORT_CAM_GRAPH = "camcalib.jaxexport"
 EXPORT_WEIGHTS = "weights.npz"
 EXPORT_META = "meta.json"
+
+
+def _cam_mode(camcalib) -> Optional[str]:
+    """Normalize the camcalib option: False/None -> None (no calibration
+    branch), True/"batch" -> the full frame rides the main graph (batch-
+    global, cannot coalesce across frames), "split" -> a SECOND exported
+    graph runs CamCalib per frame and the main graph takes per-crop
+    `cam_rotmat` — the frozen-artifact form of the live coalesced-serving
+    protocol (serve_cli.BatchingExecutor / tester.py:100-104)."""
+    if camcalib in (False, None):
+        return None
+    if camcalib is True:
+        return "batch"
+    if camcalib in ("batch", "split"):
+        return camcalib
+    raise ValueError(f"camcalib must be False, 'batch', or 'split', "
+                     f"got {camcalib!r}")
 
 # The demo/serving output surface (mirrors pipeline.WHMRPipeline._fwd).
 OUTPUT_KEYS = (
@@ -58,6 +76,8 @@ def make_serving_fn(cfg: WHMRConfig, model, treedef, camcalib: bool):
     axon remote-compile 413 lesson generalizes to serialized artifacts).
     """
 
+    mode = _cam_mode(camcalib)
+
     def serve(flat, x_u8, center, scale, bbox_height, orig_shape, bbox_info,
               *rest):
         variables, consts = jax.tree.unflatten(treedef, flat)
@@ -65,11 +85,15 @@ def make_serving_fn(cfg: WHMRConfig, model, treedef, camcalib: bool):
         std = jnp.asarray(IMG_NORM_STD, jnp.float32)
         x = (x_u8.astype(jnp.float32) / 255.0 - mean) / std
         full_x = None
-        if camcalib:
+        cam_rotmat = None
+        if mode == "batch":
             full_x = (rest[0].astype(jnp.float32) / 255.0 - mean) / std
+        elif mode == "split":
+            # per-crop rotation from the separate camcalib graph
+            cam_rotmat = rest[0]
         out = model.apply(
             variables, consts, x, center, scale, bbox_height, orig_shape,
-            bbox_info, train=False, full_x=full_x,
+            bbox_info, train=False, full_x=full_x, cam_rotmat=cam_rotmat,
         )
         vis = out["vis"]
         return {
@@ -145,11 +169,13 @@ def batch_arg_structs(
 
     batch_size None/0 -> batch-POLYMORPHIC artifact (jax.export symbolic
     dim): one bundle serves any batch size, compiled per concrete shape at
-    first use. With camcalib the symbolic batch is constrained to B >= 2 so
-    the (1, H, W, 3) full-frame broadcast (whmr.py:194-199) stays decidable
-    under shape polymorphism."""
+    first use. With camcalib="batch" the symbolic batch is constrained to
+    B >= 2 so the (1, H, W, 3) full-frame broadcast (whmr.py:194-199)
+    stays decidable under shape polymorphism; "split" needs no constraint
+    (the rotation is already per-crop)."""
+    mode = _cam_mode(camcalib)
     if not batch_size:
-        scope = jax.export.SymbolicScope(("B >= 2",) if camcalib else ())
+        scope = jax.export.SymbolicScope(("B >= 2",) if mode == "batch" else ())
         (batch_size,) = jax.export.symbolic_shape("B", scope=scope)
     h, w = cfg.crop_hw
     f32 = jnp.float32
@@ -161,11 +187,56 @@ def batch_arg_structs(
         jax.ShapeDtypeStruct((batch_size, 2), f32),               # orig_shape
         jax.ShapeDtypeStruct((batch_size, 5), f32),               # bbox_info
     ]
-    if camcalib:
+    if mode == "batch":
         ch, cw = cfg.cam_img_size
         # one full frame per batch; CamCalib broadcasts (whmr.py:194-199)
         args.append(jax.ShapeDtypeStruct((1, ch, cw, 3), jnp.uint8))
+    elif mode == "split":
+        args.append(jax.ShapeDtypeStruct((batch_size, 3, 3), f32))  # cam_rotmat
     return tuple(args)
+
+
+def make_camcalib_fn(cfg: WHMRConfig, model, treedef):
+    """Standalone CamCalib graph for "split" bundles: one uint8 full frame
+    -> (cam_rotmat, render_rotmat), both (1, 3, 3). The frozen twin of the
+    live pipeline's `_cam_fwd` (pipeline.py), letting a frozen-bundle
+    daemon run calibration once per unique frame and coalesce crops from
+    different frames into shared device batches."""
+    from whmr_tpu.models.whmr import WHMR
+
+    def cam(flat, full_u8):
+        variables, _consts = jax.tree.unflatten(treedef, flat)
+        mean = jnp.asarray(IMG_NORM_MEAN, jnp.float32)
+        std = jnp.asarray(IMG_NORM_STD, jnp.float32)
+        full_x = (full_u8.astype(jnp.float32) / 255.0 - mean) / std
+        cam_rotmat, render_rotmat = model.apply(
+            variables, full_x, train=False, method=WHMR.camcalib
+        )
+        return {"cam_rotmat": cam_rotmat, "render_rotmat": render_rotmat}
+
+    return cam
+
+
+def export_camcalib(
+    cfg: WHMRConfig,
+    model,
+    variables,
+    consts,
+    platforms: Tuple[str, ...] = ("cpu", "tpu"),
+):
+    """Lower + export the standalone CamCalib graph (split bundles)."""
+    flat, treedef = jax.tree.flatten((variables, consts))
+    flat_structs = [
+        jax.ShapeDtypeStruct(
+            np.shape(a), getattr(a, "dtype", None) or np.asarray(a).dtype
+        )
+        for a in flat
+    ]
+    ch, cw = cfg.cam_img_size
+    cam = make_camcalib_fn(cfg, model, treedef)
+    return jax.export.export(jax.jit(cam), platforms=list(platforms))(
+        flat_structs, jax.ShapeDtypeStruct((1, ch, cw, 3), jnp.uint8)
+    )
 
 
 def export_serving(
@@ -215,12 +286,22 @@ def save_exported(
     flat,
     cfg: WHMRConfig,
     batch_size: Optional[int],
-    camcalib: bool,
+    camcalib,
     variant: str = "demo",
+    cam_exp=None,
 ) -> None:
+    mode = _cam_mode(camcalib)
+    if (mode == "split") != (cam_exp is not None):
+        raise ValueError(
+            "camcalib='split' bundles carry a second exported graph: pass "
+            "cam_exp=export_camcalib(...) iff camcalib == 'split'"
+        )
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, EXPORT_GRAPH), "wb") as f:
         f.write(exp.serialize())
+    if cam_exp is not None:
+        with open(os.path.join(out_dir, EXPORT_CAM_GRAPH), "wb") as f:
+            f.write(cam_exp.serialize())
     arrays = {}
     dtypes = []
     for i, a in enumerate(flat):
@@ -237,7 +318,10 @@ def save_exported(
         "jax_version": jax.__version__,
         "platforms": list(exp.platforms),
         "batch_size": batch_size or 0,  # 0 = batch-polymorphic
-        "camcalib": camcalib,
+        "camcalib": mode is not None,
+        # absent/"batch" in older bundles; "split" = separate per-frame
+        # CamCalib graph + per-crop cam_rotmat main-graph input
+        "camcalib_mode": mode or "",
         "variant": variant,
         "crop_hw": list(cfg.crop_hw),
         "cam_img_size": list(cfg.cam_img_size),
@@ -273,11 +357,19 @@ class ExportedWHMR:
         ]
         self.batch_size = self.meta["batch_size"] or None  # None = any
         self.camcalib = self.meta["camcalib"]
+        # pre-split bundles carry no mode key; all of them are batch-global
+        self.camcalib_mode = (
+            self.meta.get("camcalib_mode") or ("batch" if self.camcalib else "")
+        )
         # absent in format_version-1 bundles, which are all demo-variant
         self.variant = self.meta.get("variant", "demo")
         # jit the exported callable ONCE: repeated serving calls then take
         # the compiled-dispatch fast path instead of re-tracing exp.call
         self._call = jax.jit(self.exported.call)
+        self._cam_call = None
+        if self.camcalib_mode == "split":
+            with open(os.path.join(path, EXPORT_CAM_GRAPH), "rb") as f:
+                self._cam_call = jax.jit(jax.export.deserialize(f.read()).call)
 
     def __call__(
         self,
@@ -288,6 +380,7 @@ class ExportedWHMR:
         orig_shape: np.ndarray,
         bbox_info: np.ndarray,
         full_u8: Optional[np.ndarray] = None,
+        cam_rotmat: Optional[np.ndarray] = None,
     ) -> Dict[str, jnp.ndarray]:
         if self.variant != "demo":
             raise ValueError(
@@ -296,14 +389,54 @@ class ExportedWHMR:
             )
         args = [self.weights, x_u8, center, scale, bbox_height, orig_shape,
                 bbox_info]
-        if self.camcalib:
+        if self.camcalib_mode == "batch":
             if full_u8 is None:
                 raise ValueError(
-                    "this artifact was exported with camcalib=True; pass "
+                    "this artifact was exported with camcalib='batch'; pass "
                     "full_u8 (1, H, W, 3) uint8"
                 )
             args.append(full_u8)
+        elif self.camcalib_mode == "split":
+            render = None
+            if cam_rotmat is None:
+                if full_u8 is None:
+                    raise ValueError(
+                        "this artifact was exported with camcalib='split'; "
+                        "pass per-crop cam_rotmat (B, 3, 3) — or full_u8, "
+                        "from which camcalib_fn derives it"
+                    )
+                d = self.camcalib_fn(full_u8)
+                b = np.shape(x_u8)[0]
+                cam_rotmat = np.broadcast_to(
+                    np.asarray(d["cam_rotmat"]), (b, 3, 3)
+                ).astype(np.float32)
+                render = np.broadcast_to(
+                    np.asarray(d["render_rotmat"]), (b, 3, 3)
+                ).astype(np.float32)
+            if isinstance(cam_rotmat, np.ndarray):
+                cam_rotmat = np.ascontiguousarray(cam_rotmat)
+            args.append(cam_rotmat)
+            out = dict(self._call(*args))
+            if render is not None:
+                # the main graph echoes cam_rotmat as render_rotmat; give
+                # the caller the true pitch-flipped overlay rotation. With
+                # a caller-supplied cam_rotmat the echo stands (the caller
+                # holds the camcalib_fn outputs and can substitute).
+                out["render_rotmat"] = render
+            return out
         return self._call(*args)
+
+    def camcalib_fn(self, full_u8: np.ndarray) -> Dict[str, jnp.ndarray]:
+        """Split-bundle CamCalib graph: (1, H, W, 3) uint8 full frame ->
+        {'cam_rotmat', 'render_rotmat'}, each (1, 3, 3). Run ONCE per
+        unique frame; its cam_rotmat rides every crop row of that frame
+        through __call__ (the coalesced-serving protocol)."""
+        if self._cam_call is None:
+            raise ValueError(
+                "no camcalib graph in this bundle: only camcalib='split' "
+                "exports carry one (whmr-export --camcalib split)"
+            )
+        return self._cam_call(self.weights, full_u8)
 
     def call_eval(self, img, center, scale, bbox_height, orig_shape,
                   bbox_info, cam_rotmat) -> Dict[str, jnp.ndarray]:

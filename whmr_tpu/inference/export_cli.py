@@ -22,9 +22,17 @@ def build_parser() -> argparse.ArgumentParser:
                         "optimum, BASELINE.md); 0 exports a "
                         "batch-POLYMORPHIC artifact (any batch size, "
                         "compiled per shape at first use)")
-    p.add_argument("--camcalib", action="store_true",
-                   help="include the CamCalib full-frame branch "
-                        "(demo graph, tester.py:100-104)")
+    p.add_argument("--camcalib", nargs="?", const="batch", default=None,
+                   choices=("batch", "split"),
+                   help="include the CamCalib branch (demo graph, "
+                        "tester.py:100-104). 'batch' (the bare-flag "
+                        "default) traces the full frame into the main "
+                        "graph — one frame per batch, no cross-frame "
+                        "coalescing; 'split' exports a SECOND per-frame "
+                        "CamCalib graph and the main graph takes per-crop "
+                        "cam_rotmat, so whmr-serve coalesces crops from "
+                        "different frames (one calibration per unique "
+                        "frame, content-hash cached)")
     p.add_argument("--eval", action="store_true", dest="eval_variant",
                    help="export the EVAL graph instead of the demo one: "
                         "GT cam_rotmat input, normalized fp32 crops, "
@@ -57,6 +65,7 @@ def main(argv=None):
     from whmr_tpu.config import config_from_args
     from whmr_tpu.inference.eval_cli import load_model_state
     from whmr_tpu.inference.export import (
+        export_camcalib,
         export_serving,
         load_exported,
         save_exported,
@@ -80,8 +89,12 @@ def main(argv=None):
         cfg, model, variables, consts, args.batch_size,
         camcalib=args.camcalib, platforms=platforms, variant=variant,
     )
+    cam_exp = (
+        export_camcalib(cfg, model, variables, consts, platforms=platforms)
+        if args.camcalib == "split" else None
+    )
     save_exported(args.output, exp, flat, cfg, args.batch_size, args.camcalib,
-                  variant=variant)
+                  variant=variant, cam_exp=cam_exp)
     import os
 
     size_mb = sum(
@@ -120,6 +133,8 @@ def main(argv=None):
             )
             if args.camcalib:
                 ch, cw = cfg.cam_img_size
+                # both modes accept the frame: 'batch' feeds it to the
+                # main graph, 'split' routes it through camcalib_fn
                 call_args["full_u8"] = rng.randint(
                     0, 255, (1, ch, cw, 3), np.uint8
                 )

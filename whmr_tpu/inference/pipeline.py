@@ -344,10 +344,12 @@ class DemoPipeline:
                 f"max_people={self.max_people}; re-export with "
                 f"--batch_size {self.max_people} (or 0 for polymorphic)"
             )
-        if served.batch_size is None and served.camcalib and self.max_people < 2:
-            # polymorphic camcalib exports constrain the symbolic batch to
-            # B >= 2 (export.batch_arg_structs) so the broadcast stays
-            # shape-polymorphic; fail here, not in the exported graph
+        if (served.batch_size is None
+                and getattr(served, "camcalib_mode", "") == "batch"
+                and self.max_people < 2):
+            # polymorphic batch-camcalib exports constrain the symbolic
+            # batch to B >= 2 (export.batch_arg_structs) so the broadcast
+            # stays shape-polymorphic; fail here, not in the exported graph
             raise ValueError(
                 "camcalib-polymorphic bundles need max_people >= 2 "
                 f"(got {self.max_people})"
@@ -367,6 +369,43 @@ class DemoPipeline:
         self.variables = None
         self._served = served  # exposed for servers (whmr-serve /meta)
 
+        if getattr(served, "camcalib_mode", "") == "split":
+            # split bundle: a second frozen graph runs CamCalib per frame
+            # and the main graph takes per-crop cam_rotmat — the frozen
+            # twin of the live coalesced-serving path below.
+            def fwd(_variables, _consts, batch, full_u8):
+                cam_rotmat = batch.get("cam_rotmat")
+                render = None
+                if cam_rotmat is None:
+                    # demo path (all crops share one frame): calibrate here
+                    d = served.camcalib_fn(np.asarray(full_u8))
+                    b = np.shape(batch["x"])[0]
+                    cam_rotmat = np.broadcast_to(
+                        np.asarray(d["cam_rotmat"]), (b, 3, 3)
+                    ).astype(np.float32)
+                    render = np.broadcast_to(
+                        np.asarray(d["render_rotmat"]), (b, 3, 3)
+                    ).astype(np.float32)
+                out = dict(served(
+                    batch["x"], batch["center"], batch["scale"],
+                    batch["bbox_height"], batch["orig_shape"],
+                    batch["bbox_info"], cam_rotmat=cam_rotmat,
+                ))
+                if render is not None:
+                    # the main graph echoes cam_rotmat as render_rotmat
+                    # (explicit-rotation branch); substitute the true
+                    # pitch-flipped overlay rotation from the cam graph
+                    out["render_rotmat"] = render
+                return out
+
+            def cam_fwd(_variables, full_u8):
+                d = served.camcalib_fn(np.asarray(full_u8))
+                return d["cam_rotmat"], d["render_rotmat"]
+
+            self._fwd = fwd
+            self._cam_fwd = cam_fwd
+            return
+
         def fwd(_variables, _consts, batch, full_u8):
             return served(
                 batch["x"], batch["center"], batch["scale"],
@@ -375,8 +414,9 @@ class DemoPipeline:
             )
 
         self._fwd = fwd
-        # bundles trace CamCalib inside the frozen graph: no standalone
-        # camcalib entry, so camcalib coalescing needs the live model
+        # 'batch'-mode camcalib bundles trace CamCalib inside the frozen
+        # graph (the frame is batch-global): no standalone camcalib entry,
+        # so camcalib coalescing needs a 'split' bundle or the live model
         self._cam_fwd = None
 
     def dispatch_image(self, image: np.ndarray, name: str = "", dets=None):

@@ -25,13 +25,15 @@ their person crops are COALESCED into shared device batches
 (`BatchingExecutor`): the chip sees one padded batch of `max_people`
 rows regardless of how many clients contributed, so concurrent load
 raises utilization instead of queueing whole-batch launches. With
-CamCalib on (live model), the calibration net runs ONCE per unique frame
-(content-hash cache) through a standalone jitted graph and its rotation
-rides each crop row as `cam_rotmat` — the reference's own per-image
-protocol (tester.py:100-104,151-162) at coalesced throughput. Frozen
-camcalib bundles trace the full frame into the batch-global graph and
-fall back to one device call per request behind a lock. `GET /stats`
-reports the coalescing ratio and the CamCalib cache hit rate.
+CamCalib on, the calibration net runs ONCE per unique frame
+(content-hash cache) through a standalone graph — live model or a
+`whmr-export --camcalib split` bundle (which carries a second frozen
+CamCalib graph) — and its rotation rides each crop row as `cam_rotmat`:
+the reference's own per-image protocol (tester.py:100-104,151-162) at
+coalesced throughput. Batch-mode camcalib bundles (bare `--camcalib`)
+trace the full frame into the batch-global graph and fall back to one
+device call per request behind a lock. `GET /stats` reports the
+coalescing ratio and the CamCalib cache hit rate.
 
 Scale-out: `--data_parallel N` (live --checkpoint mode) shards every
 device batch over an N-chip 'data' mesh — coalesced crops from all
@@ -103,11 +105,24 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _portable(v):
+    """numpy array with a STANDARD dtype: extension float dtypes (bf16 from
+    a --bf16 traced graph, via ml_dtypes, numpy kind 'V') round-trip through
+    npz as raw void bytes that a plain-numpy client cannot interpret — cast
+    them to float32 at the protocol boundary."""
+    import numpy as np
+
+    a = np.asarray(v)
+    if a.dtype.kind == "V":
+        a = a.astype(np.float32)
+    return a
+
+
 def _result_to_npz_bytes(result) -> bytes:
     import numpy as np
 
     buf = io.BytesIO()
-    np.savez(buf, **{k: np.asarray(v) for k, v in result.items()})
+    np.savez(buf, **{k: _portable(v) for k, v in result.items()})
     return buf.getvalue()
 
 
@@ -115,7 +130,7 @@ def _result_to_json_bytes(result) -> bytes:
     import numpy as np
 
     payload = {
-        k: np.asarray(v).tolist() if not np.isscalar(v) else v
+        k: _portable(v).tolist() if not np.isscalar(v) else v
         for k, v in result.items()
     }
     return json.dumps(payload).encode()
@@ -203,11 +218,12 @@ class BatchingExecutor:
 
         if pipeline.use_camcalib and getattr(pipeline, "_cam_fwd", None) is None:
             raise ValueError(
-                "camcalib coalescing needs the live model: a frozen bundle "
-                "traces CamCalib inside the whole-batch graph (its frame is "
-                "batch-global), so crops from different images cannot share "
-                "one forward — serve the bundle with --no_coalesce or "
-                "re-export without camcalib"
+                "camcalib coalescing needs a per-frame CamCalib entry: this "
+                "frozen bundle traces CamCalib inside the whole-batch graph "
+                "(its frame is batch-global), so crops from different images "
+                "cannot share one forward — serve it with --no_coalesce, or "
+                "re-export with `whmr-export --camcalib split` (separate "
+                "per-frame camcalib graph + per-crop cam_rotmat)"
             )
         self.pipeline = pipeline
         self.capacity = int(pipeline.max_people)
@@ -258,7 +274,9 @@ class BatchingExecutor:
                 self.pipeline.variables, jnp.asarray(full_u8)
             )
         )
-        out = (np.asarray(cam[0]), np.asarray(render[0]))
+        # f32: a bf16-traced graph returns bf16 rotations, which would ride
+        # the response (and the cam_rotmat rows) as non-portable ml_dtypes
+        out = (np.asarray(cam[0], np.float32), np.asarray(render[0], np.float32))
         with self._cam_lock:
             self.stats["camcalib_calls"] += 1
             if len(self._cam_cache) >= self._cam_cache_size:
