@@ -105,6 +105,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no_camcalib", action="store_true")
     p.add_argument("--no_track", action="store_true",
                    help="disable cross-frame tracking/smoothing")
+    p.add_argument("--openpose_json", default=None, metavar="DIR",
+                   help="folder of OpenPose/STAF --write_json output for "
+                        "this video: use the external tracker's person ids "
+                        "and keypoint-derived boxes instead of the "
+                        "in-process detector (utils/pose_tracker.py)")
+    p.add_argument("--staf_dir", default=None, metavar="DIR",
+                   help="built STAF checkout: run its openpose binary in "
+                        "tracking mode on --video first, then proceed as "
+                        "with --openpose_json")
     p.add_argument("--bundle", default=None,
                    help="whmr-export bundle dir (frozen AOT graph; see "
                         "whmr-demo --bundle)")
@@ -129,9 +138,24 @@ def main(argv=None):
 
     import cv2
 
-    kind = detector_kind(args)
     pipeline = build_pipeline(args)
-    base = build_detector(kind, args.bbox_file, pipeline=pipeline)
+    external_track = args.openpose_json or args.staf_dir
+    if external_track:
+        from whmr_tpu.utils.pose_tracker import (
+            PosetrackDetector,
+            run_posetracker,
+        )
+
+        if args.openpose_json:
+            base = PosetrackDetector.from_json_folder(args.openpose_json)
+        else:
+            base = PosetrackDetector(
+                run_posetracker(args.video, args.staf_dir)
+            )
+    else:
+        base = build_detector(
+            detector_kind(args), args.bbox_file, pipeline=pipeline
+        )
     src_fps = args.fps
     if src_fps is None:
         cap = cv2.VideoCapture(args.video)
@@ -140,8 +164,12 @@ def main(argv=None):
         if not (src_fps and src_fps > 0):
             src_fps = 30.0
     eff_fps = src_fps / args.every_n
+    # External-tracker detections already carry person ids and per-track
+    # smoothing — don't re-associate them through the in-process tracker.
     pipeline.detector = (
-        base if args.no_track else TrackingDetector(base, freq=eff_fps)
+        base
+        if args.no_track or external_track
+        else TrackingDetector(base, freq=eff_fps)
     )
 
     os.makedirs(args.output_folder, exist_ok=True)
