@@ -136,6 +136,24 @@ class TestTrainer:
             found += [f for f in files if f.endswith((".xplane.pb", ".trace.json.gz"))]
         assert found, f"no trace artifacts under {tdir}"
 
+    def test_profile_with_grad_accum(self, tmp_path):
+        """Regression: the profiler window's step counter must not shadow
+        the accum count read lazily by the microbatch-split generator
+        (a local named `k` broke --profile + --grad_accum together)."""
+        from dataclasses import replace
+
+        cfg = tiny_config()
+        # micro = batch/accum must divide the 8-device test mesh data axis
+        cfg = replace(cfg, train=replace(cfg.train, grad_accum=2, batch_size=16))
+        trainer = Trainer(cfg, str(tmp_path / "profacc"), aux_rendering=False)
+        trainer.enable_profiling(str(tmp_path / "trace"), steps=1, skip=1)
+        last = trainer.train_epoch(
+            batch_iter(cfg, n_batches=3, batch=16), log_every=0
+        )
+        assert trainer._profile["done"]
+        assert last == {}  # log_every=0: no metrics materialized
+        assert int(trainer.state.step) == 3
+
     def test_epoch_boundary_resume_does_not_retrain(self, tmp_path):
         """An epoch-boundary checkpoint records epoch+1 (reference
         trainer.py:362,662), so resume continues at the NEXT epoch instead

@@ -69,13 +69,19 @@ def tcmr_to_npz(
         else:
             raise ValueError(f"{db_path}: dict db without 'bbox'")
 
+        # TCMR's `valid` marks frames whose SMPL fit failed — their pose/
+        # joints entries are garbage. It gates has_smpl AND the GT-derived
+        # joint confidences below (part/S); detector keypoints (openpose
+        # rows) are independent of fit validity and keep their own conf.
+        valid = (
+            np.asarray(db["valid"], np.float32).reshape(n)
+            if "valid" in db
+            else np.ones(n, np.float32)
+        )
         if "pose" in db and "shape" in db:
             out["pose"] = np.asarray(db["pose"], np.float32).reshape(n, 72)
             out["shape"] = np.asarray(db["shape"], np.float32).reshape(n, 10)
-            if "valid" in db:
-                out["has_smpl"] = np.asarray(db["valid"], np.float32).reshape(n)
-            else:
-                out["has_smpl"] = np.ones(n, np.float32)
+            out["has_smpl"] = valid
 
         if "joints2D" in db:
             j2d = np.asarray(db["joints2D"], np.float32)
@@ -85,7 +91,8 @@ def tcmr_to_npz(
                         [j2d, np.ones((n, 49, 1), np.float32)], axis=-1
                     )
                 out["openpose"] = j2d[:, :25]
-                out["part"] = j2d[:, 25:]
+                out["part"] = j2d[:, 25:].copy()
+                out["part"][:, :, 2] *= valid[:, None]
             elif j2d.shape[1] == 25:
                 if j2d.shape[2] == 2:
                     j2d = np.concatenate(
@@ -102,6 +109,8 @@ def tcmr_to_npz(
                     j3d = np.concatenate(
                         [j3d, np.ones((n, 24, 1), np.float32)], axis=-1
                     )
+                j3d = j3d.copy()
+                j3d[:, :, 3] *= valid[:, None]
                 out["S"] = j3d
 
         for extra in ("vid_name", "frame_id"):
@@ -118,12 +127,20 @@ def tcmr_to_npz(
         paths = [str(p) for p in db]
         names, centers, scales = [], [], []
         for p in paths:
-            cand = p
+            cand = name = None
             if img_dir is not None:
-                cand = os.path.join(img_dir, os.path.basename(p))
-                if not os.path.exists(cand):
-                    cand = os.path.join(img_dir, p.lstrip("/"))
-            if not os.path.exists(cand):
+                # Longest path-preserving suffix first: 3DPW basenames
+                # (image_00000.jpg) collide across sequence subfolders, so
+                # a bare-basename probe can silently pick the wrong image.
+                parts = p.lstrip("/").split("/")
+                for k in range(len(parts)):
+                    rel = os.path.join(*parts[k:])
+                    if os.path.exists(os.path.join(img_dir, rel)):
+                        cand, name = os.path.join(img_dir, rel), rel
+                        break
+            elif os.path.exists(p):
+                cand, name = p, p
+            if cand is None:
                 raise FileNotFoundError(
                     f"path-list db: cannot probe image size for {p!r} "
                     f"(pass --img_dir with the image root)"
@@ -132,7 +149,7 @@ def tcmr_to_npz(
             if img is None:
                 raise ValueError(f"unreadable image {cand!r}")
             h, w = img.shape[:2]
-            names.append(os.path.basename(p) if img_dir else p)
+            names.append(name)
             centers.append([w // 2, h // 2])
             scales.append(max(h, w) / 200.0)
         out["imgname"] = np.array(names)

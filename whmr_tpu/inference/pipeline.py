@@ -374,29 +374,17 @@ class DemoPipeline:
             # and the main graph takes per-crop cam_rotmat — the frozen
             # twin of the live coalesced-serving path below.
             def fwd(_variables, _consts, batch, full_u8):
-                cam_rotmat = batch.get("cam_rotmat")
-                render = None
-                if cam_rotmat is None:
-                    # demo path (all crops share one frame): calibrate here
-                    d = served.camcalib_fn(np.asarray(full_u8))
-                    b = np.shape(batch["x"])[0]
-                    cam_rotmat = np.broadcast_to(
-                        np.asarray(d["cam_rotmat"]), (b, 3, 3)
-                    ).astype(np.float32)
-                    render = np.broadcast_to(
-                        np.asarray(d["render_rotmat"]), (b, 3, 3)
-                    ).astype(np.float32)
-                out = dict(served(
+                # ExportedWHMR.__call__ owns the split protocol (per-frame
+                # camcalib_fn, (B,3,3) broadcast, render_rotmat
+                # substitution — export.py): with per-crop cam_rotmat in
+                # the batch (coalesced serving) it passes through, with
+                # full_u8 (demo path, one shared frame) it calibrates there
+                return dict(served(
                     batch["x"], batch["center"], batch["scale"],
                     batch["bbox_height"], batch["orig_shape"],
-                    batch["bbox_info"], cam_rotmat=cam_rotmat,
+                    batch["bbox_info"], full_u8=full_u8,
+                    cam_rotmat=batch.get("cam_rotmat"),
                 ))
-                if render is not None:
-                    # the main graph echoes cam_rotmat as render_rotmat
-                    # (explicit-rotation branch); substitute the true
-                    # pitch-flipped overlay rotation from the cam graph
-                    out["render_rotmat"] = render
-                return out
 
             def cam_fwd(_variables, full_u8):
                 d = served.camcalib_fn(np.asarray(full_u8))

@@ -305,7 +305,13 @@ class BatchingExecutor:
         batch = {k: v for k, v in batch.items() if k != "valid"}
         render_rotmat = None
         if pl.use_camcalib:
-            cam, render_rotmat = self._camcalib_for(image)
+            if n:
+                cam, render_rotmat = self._camcalib_for(image)
+            else:
+                # zero detections: every row is masked padding, so don't
+                # pay the per-frame hash + device call — identity rotation
+                # like the worker's padding rows keeps Gram-Schmidt finite
+                cam = np.eye(3, dtype=np.float32)
             batch["cam_rotmat"] = np.tile(
                 cam[None].astype(np.float32), (max(n, 1), 1, 1)
             )
@@ -510,6 +516,9 @@ class WHMRServer:
                     except _ReloadUnsupported as e:
                         self._json(409, {"error": str(e)})
                         return
+                    except ValueError as e:  # incompatible source: client error
+                        self._json(400, {"error": str(e)})
+                        return
                     except Exception as e:
                         self._json(500, {"error": f"{type(e).__name__}: {e}"})
                         return
@@ -590,6 +599,22 @@ class WHMRServer:
             raise _ReloadUnsupported("reload unavailable on this daemon")
         with self._reload_lock:  # serialize concurrent reloads
             new_pipe = self.reload_fn(checkpoint=checkpoint, bundle=bundle)
+            # Re-check the coalescing precondition BEFORE warmup/swap: a
+            # batch-mode camcalib bundle (no per-frame CamCalib entry) can
+            # pass build_pipeline but would break every subsequent
+            # coalesced request (submit -> _camcalib_for -> None call).
+            if (
+                self.executor is not None
+                and new_pipe.use_camcalib
+                and getattr(new_pipe, "_cam_fwd", None) is None
+            ):
+                raise ValueError(
+                    "reload rejected: this daemon coalesces camcalib "
+                    "requests per frame, but the new bundle traces CamCalib "
+                    "inside the whole-batch graph — re-export it with "
+                    "`whmr-export --camcalib split`, or restart the daemon "
+                    "with --no_coalesce"
+                )
             _warmup_pipeline(new_pipe)
             served = getattr(new_pipe, "_served", None)
             if served is not None and getattr(served, "meta", None):
@@ -599,6 +624,11 @@ class WHMRServer:
                 # a re-exported bundle may carry a different batch capacity
                 self.executor.pipeline = new_pipe
                 self.executor.capacity = int(new_pipe.max_people)
+                # Drop per-frame CamCalib rotations computed by the OLD
+                # weights: content-hash keys would otherwise keep serving
+                # stale calibrations for previously-seen frames forever.
+                with self.executor._cam_lock:
+                    self.executor._cam_cache.clear()
             self.reloads += 1
             return {
                 "status": "reloaded",

@@ -414,8 +414,10 @@ class Trainer:
                 break
             prof = self._profile
             if prof and not prof["done"]:
-                k = i - start_batch
-                if not prof["active"] and k == prof["skip"]:
+                # NOTE: must not be named `k` — split(b) above reads the
+                # enclosing-scope accum count lazily per batch.
+                rel = i - start_batch
+                if not prof["active"] and rel == prof["skip"]:
                     # sync: drain in-flight steps so the window holds only
                     # the traced steps (scalar readback of the step counter,
                     # which depends on every update — block_until_ready is
@@ -423,7 +425,7 @@ class Trainer:
                     int(self.state.step)
                     jax.profiler.start_trace(prof["dir"])
                     prof["active"] = True
-                elif prof["active"] and k == prof["skip"] + prof["steps"]:
+                elif prof["active"] and rel == prof["skip"] + prof["steps"]:
                     int(self.state.step)
                     jax.profiler.stop_trace()
                     prof.update(active=False, done=True)

@@ -177,8 +177,11 @@ class PosetrackDetector:
         h, w = image.shape[:2]
         dets = []
         for d in self.per_frame.get(idx, []):
-            # clamp to the frame so extreme keypoints can't push the crop
-            # entirely outside the image
-            if 0 <= d.cx <= w and 0 <= d.cy <= h:
+            # keep anyone whose box still intersects the frame (crops are
+            # zero-padded for the out-of-frame part); drop only detections
+            # entirely outside — e.g. smoothing overshoot past an edge exit
+            half = d.size / 2.0
+            if d.cx + half > 0 and d.cx - half < w and \
+                    d.cy + half > 0 and d.cy - half < h:
                 dets.append(d)
         return dets
