@@ -51,7 +51,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "or evaluate it by pointing --checkpoint there)")
     p.add_argument("--grad_accum", type=int, default=None, metavar="K",
                    help="accumulate gradients over K sequential "
-                        "microbatches per optimizer step (batch_size % K "
+                        "microbatches per optimizer step (batch_size %% K "
                         "== 0); ~K x less activation memory at the same "
                         "effective batch")
     p.add_argument("--host_norm", action="store_true",
