@@ -83,3 +83,50 @@ class TestFusedAdam:
         state = fused_adam(1e-3).init(params)
         assert state.mu.shape == (n,)
         assert state.nu.shape == (n,)
+
+
+class TestGradClip:
+    """train.grad_clip_norm wires optax.clip_by_global_norm ahead of Adam.
+
+    Net-new opt-in knob (0 = off keeps the reference's unclipped protocol):
+    observed need in the round-5 HMR overfit run — lr 2e-4 diverged
+    (loss 36 -> 97) off ~2e4-norm from-scratch gradients.
+    """
+
+    def test_aggressive_clip_shrinks_first_update(self):
+        from whmr_tpu.training.train_step import make_optimizer
+        from whmr_tpu.utils.testing import tiny_config
+
+        params = {"w": jnp.zeros(3, jnp.float32)}
+        grads = {"w": jnp.asarray([30.0, 40.0, 0.0])}  # global norm 50
+        lr = float(tiny_config().train.base_lr)
+
+        # Unclipped Adam's first update is ~ -lr * sign(g) (m/sqrt(v) = 1).
+        tx0 = make_optimizer(tiny_config())
+        upd0, _ = tx0.update(grads, tx0.init(params), params)
+        assert abs(float(upd0["w"][0])) > 0.9 * lr
+
+        # A tiny clip norm pushes sqrt(v_hat) below Adam's eps, so the
+        # first update collapses ~eps-fold — impossible without the clip
+        # (Adam alone is scale-invariant in its first step).
+        cfg = tiny_config().with_overrides(**{"train.grad_clip_norm": 1e-9})
+        tx = make_optimizer(cfg)
+        upd, _ = tx.update(grads, tx.init(params), params)
+        assert abs(float(upd["w"][0])) < 0.1 * lr
+
+    def test_clip_composes_with_fused_adam(self):
+        from whmr_tpu.training.train_step import make_optimizer
+        from whmr_tpu.utils.testing import tiny_config
+
+        params = {"w": jnp.zeros(4, jnp.float32)}
+        grads = {"w": jnp.full((4,), 100.0)}
+        cfg = tiny_config().with_overrides(
+            **{"train.grad_clip_norm": 1.0, "train.fused_adam": True}
+        )
+        ref = tiny_config().with_overrides(**{"train.grad_clip_norm": 1.0})
+        tx, tx_ref = make_optimizer(cfg), make_optimizer(ref)
+        upd, _ = tx.update(grads, tx.init(params), params)
+        upd_ref, _ = tx_ref.update(grads, tx_ref.init(params), params)
+        np.testing.assert_allclose(
+            np.asarray(upd["w"]), np.asarray(upd_ref["w"]), atol=1e-6
+        )

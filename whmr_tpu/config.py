@@ -147,6 +147,12 @@ class TrainConfig:
     ema_decay: float = 0.0
     # Mixed precision: compute in bf16 on MXU, accumulate/params in fp32.
     use_bf16: bool = True
+    # Opt-in global-norm gradient clipping (net-new; the reference trains
+    # without clipping, so 0 = off stays protocol-faithful). From-scratch
+    # runs see init grad norms ~2e4 and the HMR baseline diverges at
+    # lr 2e-4 without it (loss 36 -> 97, round-5 overfit run); 1.0 is a
+    # sane production value.
+    grad_clip_norm: float = 0.0
     # Flat-buffer fused Adam (training/optim.py): bit-equal to optax.adam.
     # Measured SLOWER on v5e (154 vs 136 ms B=64 step — see optim.py);
     # kept as a documented negative-result experiment. Single-chip /

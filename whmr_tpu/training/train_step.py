@@ -82,8 +82,14 @@ def make_optimizer(
     if cfg.train.fused_adam:
         from whmr_tpu.training.optim import fused_adam
 
-        return fused_adam(sched)
-    return optax.adam(sched)
+        tx = fused_adam(sched)
+    else:
+        tx = optax.adam(sched)
+    if cfg.train.grad_clip_norm > 0:
+        # Clip BEFORE Adam so the moments see the clipped gradients (the
+        # standard production ordering); logged grad_norm stays pre-clip.
+        tx = optax.chain(optax.clip_by_global_norm(cfg.train.grad_clip_norm), tx)
+    return tx
 
 
 def create_train_state(
