@@ -147,11 +147,9 @@ def load_model_state(args, cfg):
         }
     ckpt = CheckpointManager(args.checkpoint)
     # accepts full-training AND weights-only payloads (checkpoints_ema,
-    # whmr-convert output)
-    if "opt_state" in template:
-        variables = ckpt.restore_weights(template)
-    else:
-        variables = ckpt.restore(template=template)
+    # whmr-convert output) for both template shapes (the HMR branch's
+    # template has no optimizer)
+    variables = ckpt.restore_weights(template)
     if variables is None:
         raise SystemExit(f"no checkpoint found in {args.checkpoint}")
     variables = {"params": variables["params"],

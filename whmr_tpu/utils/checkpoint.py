@@ -76,22 +76,38 @@ class CheckpointManager:
             )
         return self._mgr.restore(step)
 
-    def restore_weights(self, full_template: Dict[str, Any]) -> Optional[Dict[str, Any]]:
+    def restore_weights(self, template: Dict[str, Any]) -> Optional[Dict[str, Any]]:
         """Restore just model weights {params, batch_stats}, accepting
         either checkpoint flavor: a full training payload (params,
         batch_stats, opt_state, step, epoch, batch_idx — whmr-train's
         main dir) or a weights-only payload (params, batch_stats — the
         EMA dir `checkpoints_ema`, and converted-torch checkpoints).
-        orbax StandardRestore requires the template to match the saved
-        structure exactly, so both shapes are tried."""
+        The caller's template may itself be either shape (e.g. whmr-eval's
+        HMR branch has no optimizer). orbax StandardRestore requires the
+        template to match the saved structure exactly, so both shapes are
+        tried; when neither matches (a full checkpoint but a weights-only
+        template whose opt_state structure is unknown — the whmr-eval
+        --regressor hmr on a whmr-train checkpoint case), fall back to a
+        structure-free raw read and keep only the weight subtrees (safe:
+        params/batch_stats are plain dict trees, preserved verbatim)."""
+        if self.latest_step() is None:
+            return None
         weights_only = {
-            "params": full_template["params"],
-            "batch_stats": full_template["batch_stats"],
+            "params": template["params"],
+            "batch_stats": template["batch_stats"],
         }
-        try:
-            payload = self.restore(template=full_template)
-        except ValueError:
-            payload = self.restore(template=weights_only)
+        candidates = (
+            [template, weights_only] if "opt_state" in template else [weights_only]
+        )
+        payload = None
+        for cand in candidates:
+            try:
+                payload = self.restore(template=cand)
+                break
+            except Exception:
+                payload = None
+        if payload is None:
+            payload = self.restore()  # raw read, no structure enforcement
         if payload is None:
             return None
         return {"params": payload["params"],
