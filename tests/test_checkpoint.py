@@ -73,6 +73,27 @@ class TestCheckpointManager:
         mgr = CheckpointManager(str(tmp_path / "ck"))
         assert mgr.restore_weights(payload(0, 0)) is None
 
+    def test_restore_weights_wrong_model_fails_loudly(self, tmp_path):
+        """The raw-read fallback must not silently hand a different
+        model's weights to the caller: key and leaf-shape mismatches vs
+        the template raise a clear ValueError naming the first diff."""
+        import pytest
+
+        mgr = CheckpointManager(str(tmp_path / "ck"))
+        mgr.save(10, payload(1, 10))
+        wrong_keys = {
+            "params": {"other": np.zeros((3,), np.float32)},
+            "batch_stats": {"m": np.zeros(8, np.float32)},
+        }
+        with pytest.raises(ValueError, match="does not match.*missing"):
+            mgr.restore_weights(wrong_keys)
+        wrong_shape = {
+            "params": {"w": np.zeros((2, 2), np.float32)},
+            "batch_stats": {"m": np.zeros(8, np.float32)},
+        }
+        with pytest.raises(ValueError, match="shape"):
+            mgr.restore_weights(wrong_shape)
+
     def test_best_copy_tracks_metric_async(self, tmp_path):
         mgr = CheckpointManager(str(tmp_path / "ck"))
         mgr.save(1, payload(1, 1), metric=5.0, block=False)

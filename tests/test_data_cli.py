@@ -171,6 +171,42 @@ class TestTCMRConvert:
         np.testing.assert_allclose(loaded["S"][..., :3], db["joints3D"][:, 25:])
         assert "vid_name" in loaded and "frame_id" in loaded
 
+    def test_conf_free_joints_get_zero_conf_for_zero_filled_rows(self, tmp_path):
+        """(N, K, 2)-shaped joints2D / (N, 24, 3) joints3D carry no conf
+        column; the fabricated conf must be 0 exactly on zero-filled rows
+        (the OpenPose missing-joint convention) — conf-1.0 there would
+        train predicted joints toward pixel (0,0) for every occluded
+        joint (regression)."""
+        import joblib
+
+        from whmr_tpu.data.tcmr import tcmr_to_npz
+
+        rng = np.random.RandomState(2)
+        n = 4
+        j2d = rng.uniform(10, 400, (n, 49, 2)).astype(np.float32)
+        j2d[:, 3] = 0.0          # an undetected openpose joint, all frames
+        j2d[1, 30] = 0.0         # a missing GT joint, one frame
+        j3d = (rng.randn(n, 24, 3) * 0.3).astype(np.float32)
+        j3d[2, 5] = 0.0
+        db = {
+            "img_name": np.array([f"im_{i}.jpg" for i in range(n)]),
+            "bbox": np.tile(
+                np.array([[200.0, 200.0, 100.0, 150.0]], np.float32), (n, 1)
+            ),
+            "joints2D": j2d,
+            "joints3D": j3d,
+        }
+        path = tmp_path / "db.pt"
+        joblib.dump(db, path)
+        out = tcmr_to_npz(str(path), str(tmp_path / "o.npz"))
+        assert out["openpose"].shape == (n, 25, 3)
+        assert (out["openpose"][:, 3, 2] == 0).all()
+        assert out["openpose"][:, 4, 2].min() == 1.0
+        assert out["part"][1, 5, 2] == 0.0          # 49-row 30 -> part row 5
+        assert out["part"][0, 5, 2] == 1.0
+        assert out["S"][2, 5, 3] == 0.0
+        assert out["S"][2, 6, 3] == 1.0
+
     def test_dict_flavor_validates_and_loads(self, tmp_path):
         """The converted file passes `whmr-data check --train` and feeds
         NpzDataset end-to-end (eval mode; images synthesized to match)."""

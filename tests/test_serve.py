@@ -270,6 +270,74 @@ class TestCoalescing:
                                        ref["verts_world"],
                                        rtol=1e-6, atol=1e-6)
 
+    def test_reload_shrunk_capacity_chunks_queued_group(self, server, tmp_path):
+        """A /reload that SHRINKS the device batch must not crash requests
+        already queued against the old capacity (regression: pad =
+        capacity - rows went negative and np.zeros raised, 500-ing every
+        request in the group). _run_group now slices the group into
+        chunks of the snapshot pipeline's batch size."""
+        import jax
+        import jax.numpy as jnp
+
+        from whmr_tpu.data.assets import synthetic_smpl_assets
+        from whmr_tpu.inference.export import export_serving, save_exported
+        from whmr_tpu.inference.pipeline import DemoPipeline, Detection
+        from whmr_tpu.inference.serve_cli import BatchingExecutor
+        from whmr_tpu.models.regressor import body_consts_from_assets
+        from whmr_tpu.models.whmr import WHMR
+        from whmr_tpu.training.train_step import create_train_state
+
+        _, pipe, _ = server
+        ex = BatchingExecutor(pipe, max_wait_ms=1.0, start=False)
+        rng = np.random.RandomState(7)
+        img = rng.randint(0, 255, (200, 160, 3), np.uint8)
+        dets = [Detection(60.0, 80.0, 70.0), Detection(100.0, 120.0, 80.0)]
+        res = []
+        t = threading.Thread(target=lambda: res.append(ex.submit(img, dets=dets)))
+        t.start()
+        import time
+
+        deadline = time.time() + 30
+        while ex.q.qsize() < 1 and time.time() < deadline:
+            time.sleep(0.01)
+
+        # emulate WHMRServer.reload swapping in a bundle traced at batch 1
+        # (same weights: the fixture's deterministic PRNGKey(0) init)
+        cfg = tiny_config()
+        assets = synthetic_smpl_assets()
+        consts = body_consts_from_assets(assets)
+        model = WHMR(cfg)
+        inputs = make_example_inputs(cfg, 2)
+        state = create_train_state(
+            cfg, model, consts, jax.random.PRNGKey(0),
+            {k: jnp.asarray(v) for k, v in inputs.items()},
+        )
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        exp, flat = export_serving(
+            cfg, model, variables, consts, 1, camcalib=False,
+            platforms=("cpu",),
+        )
+        bundle = str(tmp_path / "bundle1")
+        save_exported(bundle, exp, flat, cfg, 1, False)
+        small = DemoPipeline(cfg, None, assets, max_people=1,
+                             use_camcalib=False, bundle=bundle)
+        ex.pipeline = small
+        ex.capacity = 1
+
+        group = [ex.q.get()]
+        ex._collect_group(group)
+        ex._run_group(group)  # 2 rows through a batch-1 graph: two chunks
+        for r in group:
+            r.event.set()
+        t.join(30)
+        assert group[0].error is None
+        got = res[0]
+        assert got["n_people"] == 2
+        for i, d in enumerate(dets):
+            ref = small.run_image(img, dets=[d])
+            np.testing.assert_allclose(got["verts"][i], ref["verts"][0],
+                                       rtol=1e-5, atol=1e-5)
+
     def test_concurrent_http_posts_and_stats(self, server):
         """Concurrent clients all get correct responses through the
         coalescing path; /stats accounts for every request."""

@@ -32,6 +32,17 @@ def _as_str_array(x) -> np.ndarray:
     return np.array([str(v) for v in np.asarray(x).reshape(-1)])
 
 
+def _append_conf(j: np.ndarray) -> np.ndarray:
+    """Append a confidence column to (n, K, C) coordinate-only joints.
+
+    TCMR/VIBE dbs zero-fill missing/undetected joints (the OpenPose
+    convention), so conf must be 0 exactly where the coordinate row is
+    all-zero — fabricating conf 1.0 there would turn every occluded
+    joint into a full-weight training target at pixel/point 0."""
+    conf = (np.abs(j).sum(axis=-1) > 0).astype(np.float32)
+    return np.concatenate([j, conf[..., None]], axis=-1)
+
+
 def tcmr_to_npz(
     db_path: str,
     out_npz: str,
@@ -87,17 +98,13 @@ def tcmr_to_npz(
             j2d = np.asarray(db["joints2D"], np.float32)
             if j2d.shape[1] == 49:  # SPIN layout: 25 openpose + 24 GT
                 if j2d.shape[2] == 2:
-                    j2d = np.concatenate(
-                        [j2d, np.ones((n, 49, 1), np.float32)], axis=-1
-                    )
+                    j2d = _append_conf(j2d)
                 out["openpose"] = j2d[:, :25]
                 out["part"] = j2d[:, 25:].copy()
                 out["part"][:, :, 2] *= valid[:, None]
             elif j2d.shape[1] == 25:
                 if j2d.shape[2] == 2:
-                    j2d = np.concatenate(
-                        [j2d, np.ones((n, 25, 1), np.float32)], axis=-1
-                    )
+                    j2d = _append_conf(j2d)
                 out["openpose"] = j2d
 
         if "joints3D" in db:
@@ -106,9 +113,7 @@ def tcmr_to_npz(
                 j3d = j3d[:, 25:]
             if j3d.shape[1] == 24:
                 if j3d.shape[2] == 3:
-                    j3d = np.concatenate(
-                        [j3d, np.ones((n, 24, 1), np.float32)], axis=-1
-                    )
+                    j3d = _append_conf(j3d)
                 j3d = j3d.copy()
                 j3d[:, :, 3] *= valid[:, None]
                 out["S"] = j3d

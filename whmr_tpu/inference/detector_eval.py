@@ -37,6 +37,15 @@ def composite_frames(
     (Detection with score=1) from each person's projected-vertex bbox —
     the same square-crop convention the pipeline consumes (the demo's
     MPT detections are squares too, tester.py:86-99).
+
+    Deliberately NOT shared with scripts/make_overfit_dataset.py even
+    though the scene recipe matches: that script must stay byte-
+    deterministic across rounds (recorded overfit curves depend on
+    regenerating the identical dataset), so its RNG draw order cannot
+    absorb refactors; and the GT conventions differ on purpose
+    (detector GT = projected-VERTEX bbox, the tightest truth for box
+    IoU; the dataset uses the GT-24-joint bbox with a 1.1 margin, the
+    crop convention training consumes).
     """
     import cv2
     import jax

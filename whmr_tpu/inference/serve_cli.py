@@ -363,28 +363,45 @@ class BatchingExecutor:
         from whmr_tpu.inference.pipeline import detections_array
 
         pl = self.pipeline
+        # Chunk size comes from the SNAPSHOT pipeline, not self.capacity: a
+        # concurrent /reload may swap pipeline+capacity between these two
+        # reads, and the chunk size must match the graph we actually call.
+        cap = int(pl.max_people)
         parts = {k: [r.batch[k] for r in group] for k in group[0].batch}
         rows = sum(v.shape[0] for v in parts["x"])
-        pad = self.capacity - rows
         combined = {k: np.concatenate(v) for k, v in parts.items()}
-        if pad:
-            # same padding convention as prepare_crop_batch's masked rows:
-            # finite, row-independent, never read back
-            last_shape = combined["orig_shape"][-1:]
-            combined = {
-                k: np.concatenate([v, np.zeros((pad, *v.shape[1:]), v.dtype)])
-                for k, v in combined.items()
-            }
-            combined["scale"][rows:] = 1.0
-            combined["bbox_height"][rows:] = 1.0
-            combined["orig_shape"][rows:] = last_shape
-            if "cam_rotmat" in combined:
-                # identity, not zeros: a zero rotmat feeds Gram-Schmidt a
-                # zero vector (NaN row) in the global-orient head
-                combined["cam_rotmat"][rows:] = np.eye(3, dtype=np.float32)
-        out = pl._fwd(pl.variables, pl.consts,
-                      {k: jnp.asarray(v) for k, v in combined.items()}, None)
-        out_host = jax.device_get(out)
+        # Normally one chunk (collection clamps the group against capacity),
+        # but a /reload that SHRINKS capacity can leave already-queued groups
+        # larger than the new device batch — slice them instead of crashing
+        # every request in the group with a negative pad.
+        out_parts = []
+        for lo in range(0, rows, cap):
+            chunk = {k: v[lo:lo + cap] for k, v in combined.items()}
+            m = chunk["x"].shape[0]
+            pad = cap - m
+            if pad:
+                # same padding convention as prepare_crop_batch's masked
+                # rows: finite, row-independent, never read back
+                last_shape = chunk["orig_shape"][-1:]
+                chunk = {
+                    k: np.concatenate([v, np.zeros((pad, *v.shape[1:]), v.dtype)])
+                    for k, v in chunk.items()
+                }
+                chunk["scale"][m:] = 1.0
+                chunk["bbox_height"][m:] = 1.0
+                chunk["orig_shape"][m:] = last_shape
+                if "cam_rotmat" in chunk:
+                    # identity, not zeros: a zero rotmat feeds Gram-Schmidt
+                    # a zero vector (NaN row) in the global-orient head
+                    chunk["cam_rotmat"][m:] = np.eye(3, dtype=np.float32)
+            out = pl._fwd(pl.variables, pl.consts,
+                          {k: jnp.asarray(v) for k, v in chunk.items()}, None)
+            out_parts.append({k: v[:m] for k, v in jax.device_get(out).items()})
+        out_host = (
+            out_parts[0] if len(out_parts) == 1
+            else {k: np.concatenate([p[k] for p in out_parts])
+                  for k in out_parts[0]}
+        )
         start = 0
         for r in group:
             span = max(r.n, 1)

@@ -12,7 +12,33 @@ from __future__ import annotations
 import os
 from typing import Any, Dict, Optional
 
+import numpy as np
 import orbax.checkpoint as ocp
+
+
+def _tree_mismatch(template, got, path: str = "") -> Optional[str]:
+    """First structural difference between two weight trees (nested dicts
+    of arrays), as a human-readable path, or None if they match in keys
+    and leaf shapes. dtype is deliberately not compared (checkpoints may
+    legitimately hold a different storage dtype than the live model)."""
+    t_is_map, g_is_map = hasattr(template, "items"), hasattr(got, "items")
+    if t_is_map != g_is_map:
+        return (f"{path or '/'}: {type(template).__name__} in model vs "
+                f"{type(got).__name__} in checkpoint")
+    if t_is_map:
+        tk, gk = set(template.keys()), set(got.keys())
+        if tk != gk:
+            return (f"{path or '/'}: missing {sorted(tk - gk)}, "
+                    f"unexpected {sorted(gk - tk)}")
+        for k in sorted(tk):
+            bad = _tree_mismatch(template[k], got[k], f"{path}/{k}")
+            if bad is not None:
+                return bad
+        return None
+    ts, gs = np.shape(template), np.shape(got)
+    if ts != gs:
+        return f"{path}: checkpoint shape {gs} vs model {ts}"
+    return None
 
 
 class CheckpointManager:
@@ -107,9 +133,20 @@ class CheckpointManager:
             except Exception:
                 payload = None
         if payload is None:
-            payload = self.restore()  # raw read, no structure enforcement
-        if payload is None:
-            return None
+            # Raw read, no structure enforcement — so validate the weight
+            # subtrees against the template before returning: a wrong-model
+            # checkpoint must fail HERE with a clear diagnosis, not later
+            # inside model.apply with an opaque flax scope error.
+            payload = self.restore()
+            if payload is None:
+                return None
+            for part in ("params", "batch_stats"):
+                bad = _tree_mismatch(weights_only[part], payload.get(part, {}), part)
+                if bad is not None:
+                    raise ValueError(
+                        f"checkpoint in {self.save_dir} does not match the "
+                        f"requested model: {bad}"
+                    )
         return {"params": payload["params"],
                 "batch_stats": payload["batch_stats"]}
 
