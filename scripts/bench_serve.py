@@ -169,7 +169,9 @@ def main(argv=None):
     _wimg = np.zeros((480, 640, 3), np.uint8)
     _wdet = [Detection(320.0, 240.0, 180.0)]
     if executor is not None:
-        executor.submit(_wimg, dets=_wdet)
+        # explicit long timeout: submit's 600 s default is not enough for
+        # a cold fp32-bundle compile through the tunnel (observed >600 s)
+        executor.submit(_wimg, dets=_wdet, timeout=1800.0)
     else:
         pipe.run_image(_wimg, dets=_wdet)
     print("[bench_serve] in-process compile warmup done",

@@ -72,6 +72,57 @@ class TestResNet:
         assert np.abs(np.asarray(before) - np.asarray(after)).max() > 0
 
 
+class TestResNetTorchParity:
+    def test_strided_bottleneck_matches_torch(self, rng):
+        """Stride-2 stage-entry Bottleneck must reproduce torch's
+        Conv2d(3, stride=2, padding=1) window placement. Regression: the
+        3x3 ConvBN used padding="SAME", which XLA resolves to (0, 1) on
+        even inputs — every feature one pixel shifted vs the reference,
+        silently corrupting converted ResNet checkpoints (CamCalib, res50
+        backbone, HMR baseline). BNs are left at init (mean 0 / var 1 /
+        scale 1 / bias 0, eps 1e-5 in both frameworks) so the comparison
+        isolates the convolutions."""
+        import torch
+        import torch.nn as tnn
+
+        from whmr_tpu.models.layers import Bottleneck
+
+        cin, planes = 16, 8
+        blk = Bottleneck(planes, strides=(2, 2), downsample=True)
+        x = np.random.RandomState(0).randn(1, 10, 10, cin).astype(np.float32)
+        variables = blk.init(jax.random.PRNGKey(0), jnp.asarray(x), False)
+        out = np.asarray(blk.apply(variables, jnp.asarray(x), False))
+
+        p = variables["params"]
+
+        def w(name):
+            k = np.asarray(p[name]["Conv_0"]["kernel"])  # HWIO -> OIHW
+            return torch.from_numpy(k.transpose(3, 2, 0, 1).copy())
+
+        conv1 = tnn.Conv2d(cin, planes, 1, bias=False)
+        conv2 = tnn.Conv2d(planes, planes, 3, stride=2, padding=1, bias=False)
+        conv3 = tnn.Conv2d(planes, planes * 4, 1, bias=False)
+        down = tnn.Conv2d(cin, planes * 4, 1, stride=2, bias=False)
+        bn1, bn2 = tnn.BatchNorm2d(planes), tnn.BatchNorm2d(planes)
+        bn3, bnd = tnn.BatchNorm2d(planes * 4), tnn.BatchNorm2d(planes * 4)
+        with torch.no_grad():
+            conv1.weight.copy_(w("ConvBN_0"))
+            conv2.weight.copy_(w("ConvBN_1"))
+            conv3.weight.copy_(w("ConvBN_2"))
+            down.weight.copy_(w("ConvBN_3"))
+        xt = torch.from_numpy(x.transpose(0, 3, 1, 2).copy())
+        with torch.no_grad():
+            for m in (bn1, bn2, bn3, bnd):
+                m.eval()
+            y = torch.relu(bn1(conv1(xt)))
+            y = torch.relu(bn2(conv2(y)))
+            y = bn3(conv3(y))
+            ref = torch.relu(y + bnd(down(xt)))
+        ref = ref.numpy().transpose(0, 2, 3, 1)
+        assert out.shape == ref.shape == (1, 5, 5, planes * 4)
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
 class TestRemat:
     def test_remat_matches_non_remat(self, rng):
         from dataclasses import replace

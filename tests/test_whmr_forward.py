@@ -73,6 +73,27 @@ class TestTinyForward:
         for i in range(3):
             assert f"deconv{i}" in variables["params"], i
 
+    def test_iuv_logits_runs_all_deconvs_regardless_of_n_iter(self):
+        """iuv_logits (the IUVProposalDetector subgraph) must traverse the
+        FULL deconv pyramid: the param tree is n_iter-independent, so the
+        same weights under n_iter=2 and n_iter=3 must produce identical
+        full-resolution logits (regression: it stopped after n_iter
+        blocks, feeding dp_head the half-resolution level — same channel
+        count, no shape error, silently wrong logits)."""
+        from dataclasses import replace
+
+        cfg3 = tiny_config()
+        model3, variables, _, args = build(cfg3)
+        cfg2 = replace(cfg3, pymaf=replace(cfg3.pymaf, n_iter=2))
+        model2 = WHMR(cfg2)
+        out3 = model3.apply(variables, args["x"], train=False,
+                            method=model3.iuv_logits)
+        out2 = model2.apply(variables, args["x"], train=False,
+                            method=model2.iuv_logits)
+        hp, _ = cfg3.vit.grid_hw
+        assert out3.shape[1] == hp * 8  # full-resolution level
+        np.testing.assert_array_equal(np.asarray(out3), np.asarray(out2))
+
     def test_all_finite(self):
         cfg = tiny_config()
         model, variables, consts, args = build(cfg)

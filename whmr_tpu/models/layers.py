@@ -65,8 +65,16 @@ class Bottleneck(nn.Module):
     def __call__(self, x, train: bool = False):
         residual = x
         y = ConvBN(self.planes, (1, 1), dtype=self.dtype, bn_axis_name=self.bn_axis_name)(x, train)
+        # Explicit symmetric padding, NOT "SAME": for the stride-2 stage
+        # entries XLA SAME pads (0, 1) on even inputs while torch
+        # Conv2d(3, stride=2, padding=1) pads (1, 1) — every window would
+        # be shifted one pixel and converted reference checkpoints would
+        # see shifted feature maps (stride-1 blocks are unaffected:
+        # SAME == (1, 1) there). Same reason the stem conv/pool above
+        # spell out their padding.
         y = ConvBN(
-            self.planes, (3, 3), strides=self.strides, dtype=self.dtype,
+            self.planes, (3, 3), strides=self.strides,
+            padding=[(1, 1), (1, 1)], dtype=self.dtype,
             bn_axis_name=self.bn_axis_name,
         )(y, train)
         y = ConvBN(

@@ -128,8 +128,17 @@ def _smpl_out_bundle(
     else:
         kp3d = pred_joints
 
-    sub_verts = jnp.einsum("sv,bvk->bsk", consts.dmap0, pred_vertices)
-    temp_verts = jnp.einsum("ts,bsk->btk", consts.dmap1, sub_verts)
+    # precision=HIGHEST: geometry einsums must not run as bf16 matmul
+    # passes on TPU (sub/temp verts are loss targets and Graphormer
+    # inputs; bf16 accumulation is multi-mm noise) — same rule as every
+    # einsum in smpl.py/camera.py.
+    _hi = lax.Precision.HIGHEST
+    sub_verts = jnp.einsum(
+        "sv,bvk->bsk", consts.dmap0, pred_vertices, precision=_hi
+    )
+    temp_verts = jnp.einsum(
+        "ts,bsk->btk", consts.dmap1, sub_verts, precision=_hi
+    )
     markers = pred_vertices[:, consts.ssm]
 
     # smpl_kp_3d/pelvis are REGRESSED from the final vertices (reference

@@ -44,9 +44,17 @@ from whmr_tpu.models.regressor import (
     forward_init,
 )
 from whmr_tpu.models.resnet import CamCalibNet, PoseResNetEncoder
-from whmr_tpu.models.smpl import smpl_forward, select_h36m_j14
+from whmr_tpu.models.smpl import (
+    joints_from_vertices,
+    select_h36m_j14,
+    smpl_forward,
+)
 from whmr_tpu.models.vit import ViTBackbone
-from whmr_tpu.ops.camera import decode_cam_angles
+from whmr_tpu.ops.camera import (
+    decode_cam_angles,
+    perspective_projection,
+    weak_perspective_projection,
+)
 from whmr_tpu.ops.rotation import euler_to_rotmat, rotmat_to_angle_axis
 
 
@@ -363,8 +371,13 @@ class WHMR(nn.Module):
         """
         assert self.cfg.pymaf.aux_supv_on, "dp_head not built"
         s_feat = self.feature_extractor(x, train=train)
-        for i in range(self.cfg.pymaf.n_iter):
-            s_feat = self.deconv_blocks[i](s_feat, train=train)
+        # ALL deconv blocks, not n_iter of them: n_iter only regroups the
+        # pyramid (see __call__'s bounds logic) — dp_head is trained on the
+        # final full-resolution level, so stopping early at n_iter=2 would
+        # feed it the half-resolution map (same channel count, no shape
+        # error, silently garbage logits).
+        for blk in self.deconv_blocks:
+            s_feat = blk(s_feat, train=train)
         return self.dp_head(s_feat)["predict_ann_index"]
 
     def _graphormer_stage(
@@ -385,12 +398,6 @@ class WHMR(nn.Module):
         are recomputed (e2e_body_network.py:91-130), while the parametric
         fields (rotmat/cam/shape/pose) carry over (e2e:131-150).
         """
-        from whmr_tpu.models.smpl import joints_from_vertices, select_h36m_j14
-        from whmr_tpu.ops.camera import (
-            perspective_projection,
-            weak_perspective_projection,
-        )
-
         c = self.cfg
         temp_verts = lax.stop_gradient(smpl_output["temp_verts"])
         pred_cam = lax.stop_gradient(smpl_output["pred_cam"])
