@@ -50,10 +50,19 @@ def bench_render(batch: int):
         ).astype(np.float32)
     )
     rc = build_render_consts(assets)  # KD-sorted faces
-    faces_unsorted = np.asarray(assets.faces)
+
+    def spatial_sort_unsorted(c):
+        # locality-free baseline: the same render topology in a random
+        # face order (the raw SMPL faces no longer apply — render faces
+        # index the duplicated part-pure vertex set).
+        f = np.asarray(c.faces).copy()
+        np.random.RandomState(3).shuffle(f)
+        return f
+
     iters = 20
 
-    def make_bench(faces, chunk, prep_only=False, tile_p=1024, pooled=False):
+    def make_bench(faces, chunk, prep_only=False, tile_p=1024, pooled=False,
+                   vmap_idx=None):
         @jax.jit
         def run(smpl_c, iuv, pose, betas, cam, pool=None):
             from whmr_tpu.ops.rotation import batch_rodrigues
@@ -64,6 +73,10 @@ def bench_render(batch: int):
                 # gt_render_mesh="sub": rasterize the dmap0-pooled verts
                 # (the train step reuses its existing gt_sub einsum).
                 verts = jnp.einsum("sv,bvk->bsk", pool, verts)
+            if vmap_idx is not None:
+                # part-pure render topology: gather source verts onto the
+                # duplicated render vertex set (gt_renderer.vertex_map).
+                verts = jnp.take(verts, jnp.asarray(vmap_idx), axis=1)
             attrs = jnp.broadcast_to(iuv[None], (batch, *iuv.shape))
 
             def body(i, carry):
@@ -95,18 +108,22 @@ def bench_render(batch: int):
     rc_sub = build_render_consts(assets, mesh="sub")
     pool = jnp.asarray(assets.dmap0)
     variants = [
-        ("kd_default", fk, 1024, False, 128, rc.vertex_iuv, None),
-        ("unsorted_default", faces_unsorted, 1024, False, 128, rc.vertex_iuv, None),
-        ("prep_only", fk, 1024, True, 128, rc.vertex_iuv, None),
+        ("kd_default", fk, 1024, False, 128, rc.vertex_iuv, None,
+         rc.vertex_map),
+        ("unsorted_default", spatial_sort_unsorted(rc), 1024, False, 128,
+         rc.vertex_iuv, None, rc.vertex_map),
+        ("prep_only", fk, 1024, True, 128, rc.vertex_iuv, None,
+         rc.vertex_map),
         ("kd_sub", np.asarray(rc_sub.faces), 1024, False, 128,
-         rc_sub.vertex_iuv, pool),
+         rc_sub.vertex_iuv, pool, rc_sub.vertex_map),
     ]
-    for name, faces, chunk, prep, tp, iuv, pl in variants:
+    for name, faces, chunk, prep, tp, iuv, pl, vm in variants:
         args = (consts.smpl, iuv, pose, betas, cam)
         if pl is not None:
             args = args + (pl,)
         dt = _timeit(
-            make_bench(faces, chunk, prep, tp, pooled=pl is not None),
+            make_bench(faces, chunk, prep, tp, pooled=pl is not None,
+                       vmap_idx=vm),
             *args, iters=iters,
         )
         print(json.dumps({

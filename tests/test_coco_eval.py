@@ -185,15 +185,39 @@ class TestAP:
         assert evaluate_oks_ap(gts, high)["AP"] == pytest.approx(0.5)
 
     def test_crowd_gt_is_ignored(self, rng):
-        """A dt matching only an iscrowd gt is neither tp nor fp."""
+        """A dt matching only an iscrowd gt is neither tp nor fp — and a
+        crowd gt absorbs MULTIPLE detections (cocoeval.py rematch is
+        gated on iscrowd)."""
         kps = _rand_kps(rng)
         crowd = _rand_kps(rng) + 500.0
         gt = _stack_gts(_gt(kps), _gt(crowd))
         gt["ignore"] = np.array([0.0, 1.0])
+        gt["crowd"] = np.array([0.0, 1.0])
         gts = {0: gt}
         dts = {0: {"kps": np.stack([kps, crowd]), "scores": np.array([0.9, 0.8])}}
         res = evaluate_oks_ap(gts, dts)
         assert res["AP"] == pytest.approx(1.0)  # crowd match doesn't hurt
+        # two MORE high-scoring dts on the crowd region: all rematch the
+        # crowd gt, stay ignored, and AP is still perfect
+        dts2 = {0: {"kps": np.stack([crowd, crowd, kps, crowd]),
+                    "scores": np.array([0.99, 0.95, 0.9, 0.85])}}
+        assert evaluate_oks_ap(gts, dts2)["AP"] == pytest.approx(1.0)
+
+    def test_noncrowd_ignored_gt_absorbs_only_one_dt(self, rng):
+        """An iscrowd=0 gt whose keypoints are all unlabeled is IGNORED but
+        not a crowd region: exactly one detection may match it; further
+        overlapping detections must fall through to the FP cumsum
+        (cocoeval.py only allows rematching `if iscrowd[gind]`). With the
+        two junk dts outscoring the true positive, AP must drop to 0.5 —
+        an ignore-gated rematch would (wrongly) keep it at 1.0."""
+        kps = _rand_kps(rng)
+        unl = _rand_kps(rng) + 500.0
+        gt = _stack_gts(_gt(kps), _gt(unl, labeled=np.zeros(K)))
+        gts = {0: gt}
+        dts = {0: {"kps": np.stack([unl, unl + 1.0, kps]),
+                   "scores": np.array([0.9, 0.85, 0.8])}}
+        res = evaluate_oks_ap(gts, dts)
+        assert res["AP"] == pytest.approx(0.5)
 
     def test_pycocotools_crosscheck(self, rng):
         """Exact agreement with pycocotools when it is available."""

@@ -77,6 +77,35 @@ class TestCropMath:
 
 
 @pytest.mark.smoke
+class TestColorJitter:
+    def test_full_recipe_deterministic_and_includes_hue(self):
+        """The reference's A.ColorJitter(brightness, contrast, p=0.2)
+        leaves saturation=0.2 / hue=0.2 at their defaults — both must be
+        part of the jitter. A pure-red image keeps G == B under any
+        brightness/contrast/saturation combination (all blend toward
+        gray), so a G != B pixel proves the hue shift is applied."""
+        img = np.zeros((32, 32, 3), np.uint8)
+        img[..., 0] = 200
+        out = A.color_jitter(img, np.random.RandomState(0), p=1.0)
+        assert out.shape == img.shape and out.dtype == img.dtype
+        np.testing.assert_array_equal(
+            out, A.color_jitter(img, np.random.RandomState(0), p=1.0)
+        )
+        assert any(
+            (A.color_jitter(img, np.random.RandomState(s), p=1.0)[..., 1]
+             != A.color_jitter(img, np.random.RandomState(s), p=1.0)[..., 2]
+             ).any()
+            for s in range(8)
+        )
+
+    def test_probability_gate(self):
+        img = (np.arange(32 * 32 * 3, dtype=np.uint8) % 255).reshape(32, 32, 3)
+        np.testing.assert_array_equal(
+            A.color_jitter(img, np.random.RandomState(0), p=0.0), img
+        )
+
+
+@pytest.mark.smoke
 class TestFlips:
     def test_flip_pose_involution(self, rng):
         pose = rng.randn(72).astype(np.float32)
@@ -311,6 +340,37 @@ class TestMixture:
         assert mix[0] is not None
         picks = [int(np.searchsorted(mix.partition, i / 100, side="right")) for i in range(100)]
         assert picks.count(0) == 75 and picks.count(1) == 25
+
+    def test_duplicate_draws_get_fresh_augmentation(self, fake_dataset):
+        """Sampling WITH replacement: two mixture indices that land on the
+        same inner sample must draw different augmentation (the reference's
+        shared np.random stream gives every draw fresh randomness); and the
+        whole thing stays deterministic per (seed, epoch, mixture index)."""
+        cfg = tiny_config()
+        from whmr_tpu.data.npz_dataset import _derived_rng
+
+        ds = NpzDataset(
+            cfg, str(fake_dataset / "labels.npz"), str(fake_dataset / "images"),
+            name="a", is_train=True,
+        )
+        mix = MixtureDataset([ds], length=64, seed=0)
+        # find two mixture indices that draw the SAME inner sample
+        inner = [
+            _derived_rng(0, 0, i).randint(len(ds)) for i in range(64)
+        ]
+        dup = next(
+            (i, j)
+            for i in range(64)
+            for j in range(i + 1, 64)
+            if inner[i] == inner[j]
+        )
+        a, b = mix[dup[0]], mix[dup[1]]
+        assert not np.array_equal(a["img"], b["img"]), (
+            "duplicate draws of one sample produced bit-identical augmentation"
+        )
+        # determinism: re-reading gives the same bits
+        np.testing.assert_array_equal(a["img"], mix[dup[0]]["img"])
+        np.testing.assert_array_equal(b["img"], mix[dup[1]]["img"])
 
 
 class TestPipelineHardening:

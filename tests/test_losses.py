@@ -88,6 +88,30 @@ class TestIUVLosses:
         assert float(lidx) < 1e-3 and float(lann) < 1e-3
         assert float(lu) < 1e-6 and float(lv) < 1e-6  # exact U/V match
 
+    def test_uv_denominator_is_full_batch(self, rng):
+        """The reference captures `batch_size = index_pred.size(0)` BEFORE
+        the has_iuv masking (trainer.py:256,282-283): the U/V sums divide
+        by the FULL batch, so one valid sample among two contributes half
+        of what it would alone — normalizing by the valid count instead
+        would silently scale POINT_REGRESSION_WEIGHTS by the inverse
+        valid fraction on mixed batches."""
+        b, hh, ww = 2, 4, 4
+        idx = rng.randint(1, 25, (b, hh, ww))  # all-foreground parts
+        onehot = np.eye(25, dtype=np.float32)[idx]
+        gt_u = (rng.rand(b, hh, ww, 25).astype(np.float32) * 0.4) * onehot
+        ann = np.eye(15, dtype=np.float32)[np.zeros((b, hh, ww), int)]
+        gt = {"u": gt_u, "v": gt_u, "index": onehot, "ann": ann}
+        pred = gt_u + 0.5 * onehot  # |err|=0.5 at the gt channel per pixel
+        has = jnp.asarray([1.0, 0.0])
+        lu, lv, _, _ = L.iuv_losses(
+            jnp.asarray(pred), jnp.asarray(pred), jnp.asarray(onehot * 50),
+            jnp.asarray(ann * 50), {k: jnp.asarray(v) for k, v in gt.items()},
+            has, point_regression_weight=1.0,
+        )
+        # valid sample: 16 px x huber(0.5) = 0.125 -> sum 2.0; / FULL batch 2
+        np.testing.assert_allclose(float(lu), 1.0, rtol=1e-5)
+        np.testing.assert_allclose(float(lv), 1.0, rtol=1e-5)
+
     def test_invalid_samples_zero(self, rng):
         b = 2
         zero = jnp.zeros((b, 4, 4, 25))

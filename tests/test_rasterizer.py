@@ -165,18 +165,49 @@ class TestSubMeshRender:
         full = build_render_consts(assets)
         sub = build_render_consts(assets, mesh="sub")
         n_sub = assets.dmap0.shape[0]
-        assert sub.vertex_iuv.shape == (n_sub, 3)
+        assert sub.source_verts == n_sub
+        vm = np.asarray(sub.vertex_map)
+        assert vm.min() >= 0 and vm.max() < n_sub
+        assert sub.vertex_iuv.shape == (vm.shape[0], 3)
         f = np.asarray(sub.faces)
         assert f.shape[1] == 3 and f.shape[0] < full.faces.shape[0]
-        assert f.min() >= 0 and f.max() < n_sub
-        # no degenerate faces survive the collapse
-        assert ((f[:, 0] != f[:, 1]) & (f[:, 1] != f[:, 2])
-                & (f[:, 0] != f[:, 2])).all()
+        assert f.min() >= 0 and f.max() < vm.shape[0]
+        # no degenerate faces survive the collapse: corner POSITIONS (the
+        # mapped sub verts) must be distinct, not just the render ids
+        fs = vm[f]
+        assert ((fs[:, 0] != fs[:, 1]) & (fs[:, 1] != fs[:, 2])
+                & (fs[:, 0] != fs[:, 2])).all()
         # IUV value ranges preserved (parts 1..24 scaled by /24, UV in [0,1])
         iuv = np.asarray(sub.vertex_iuv)
         assert (iuv >= 0).all() and (iuv <= 1).all()
         with pytest.raises(ValueError):
             build_render_consts(assets, mesh="bogus")
+
+    @pytest.mark.smoke
+    def test_faces_are_part_pure(self):
+        """Every face's three corners must carry the SAME part index (full
+        AND sub charts). Barycentric interpolation of the part channel
+        across a mixed-part face emits intermediate values that
+        iuv_img2map rounds to unrelated part labels — the reference avoids
+        this with the duplicated-vertex DensePose topology
+        (renderer.py:302-328), and so must every chart here."""
+        import numpy as np
+
+        from whmr_tpu.data.assets import synthetic_smpl_assets
+        from whmr_tpu.training.gt_renderer import build_render_consts
+
+        assets = synthetic_smpl_assets()
+        for mesh in ("full", "sub"):
+            rc = build_render_consts(assets, mesh=mesh)
+            part = np.round(np.asarray(rc.vertex_iuv)[:, 0] * 24.0)
+            fp = part[np.asarray(rc.faces)]
+            assert (fp[:, 0] == fp[:, 1]).all() and (fp[:, 1] == fp[:, 2]).all(), mesh
+            # the chart still uses many parts (duplication didn't collapse it)
+            assert len(np.unique(fp[:, 0])) > 4, mesh
+            # and positions reach the render verts through vertex_map
+            vm = np.asarray(rc.vertex_map)
+            assert rc.vertex_iuv.shape[0] == vm.shape[0]
+            assert vm.max() < rc.source_verts
 
     @pytest.mark.smoke
     def test_selection_matrix_dmap_no_spurious_fan(self):
@@ -200,7 +231,9 @@ class TestSubMeshRender:
         sel[np.arange(n_sub), picks] = 1.0
         assets = dataclasses.replace(base, dmap0=sel)
         sub = build_render_consts(assets, mesh="sub")
-        f = np.asarray(sub.faces)
+        vm = np.asarray(sub.vertex_map)
+        # render faces -> the sub VERTICES they draw from
+        f = vm[np.asarray(sub.faces)]
         assert f.min() >= 0 and f.max() < n_sub
         # Valence of any single sub vertex stays in the normal mesh range;
         # the argmax bug gives sub-vert 0 a valence in the thousands.

@@ -156,16 +156,24 @@ class TestDensePoseMat:
         )
         consts = build_render_consts(assets, densepose_mat=mat)
         iuv = np.asarray(consts.vertex_iuv)
-        assert iuv.shape == (v, 3)
+        # The DensePose topology IS the render mesh (reference
+        # renderer.py:302-328): one render vertex per dp sample, positions
+        # gathered from SMPL verts through vertex_map.
+        assert iuv.shape == (n_dp, 3)
         assert np.isfinite(iuv).all()
-        # the last-written corner wins: check one touched vertex exactly
-        f_idx, k = n_f - 1, 2
-        dp_v = faces[f_idx, k] - 1
-        sm_v = all_vertices[dp_v] - 1
-        np.testing.assert_allclose(iuv[sm_v, 0], part[f_idx] / 24.0, atol=1e-6)
-        np.testing.assert_allclose(iuv[sm_v, 1], u[dp_v], atol=1e-6)
-        np.testing.assert_allclose(iuv[sm_v, 2], vv[dp_v], atol=1e-6)
-        # untouched vertices stay zero
-        touched = set((all_vertices[faces.reshape(-1) - 1] - 1).tolist())
-        untouched = next(i for i in range(v) if i not in touched)
-        np.testing.assert_array_equal(iuv[untouched], 0)
+        np.testing.assert_array_equal(
+            np.asarray(consts.vertex_map), all_vertices - 1
+        )
+        assert consts.source_verts == v
+        # U/V ride each dp vertex directly (reference textures_vts)
+        np.testing.assert_allclose(iuv[:, 1], u, atol=1e-6)
+        np.testing.assert_allclose(iuv[:, 2], vv, atol=1e-6)
+        # part = FIRST face containing the dp vertex (reference dp_vert_pid)
+        for dp_v in range(n_dp):
+            hits = [i for i in range(n_f) if dp_v in (faces[i] - 1)]
+            want = part[hits[0]] / 24.0 if hits else 0.0
+            np.testing.assert_allclose(iuv[dp_v, 0], want, atol=1e-6)
+        # faces reference dp verts, KD-sorted row order: same face SET
+        got = {tuple(sorted(f)) for f in np.asarray(consts.faces).tolist()}
+        want_faces = {tuple(sorted(f)) for f in (faces - 1).tolist()}
+        assert got == want_faces

@@ -937,6 +937,65 @@ class TestReload:
         assert e.value.code == 409
         assert "reload unavailable" in json.loads(e.value.read())["error"]
 
+    def test_reload_to_live_checkpoint_refreshes_meta(self):
+        """A bundle→live-checkpoint reload must not keep serving the
+        retired bundle's meta.json from /meta: clients key dtype/batch
+        behavior off it."""
+        import jax
+        import jax.numpy as jnp
+
+        from whmr_tpu.data.assets import synthetic_smpl_assets
+        from whmr_tpu.inference.pipeline import DemoPipeline
+        from whmr_tpu.inference.serve_cli import WHMRServer
+        from whmr_tpu.models.regressor import body_consts_from_assets
+        from whmr_tpu.models.whmr import WHMR
+        from whmr_tpu.training.train_step import create_train_state
+
+        cfg = tiny_config()
+        assets = synthetic_smpl_assets()
+        consts = body_consts_from_assets(assets)
+        model = WHMR(cfg)
+        inputs = make_example_inputs(cfg, 2)
+        state = create_train_state(
+            cfg, model, consts, jax.random.PRNGKey(0),
+            {k: jnp.asarray(v) for k, v in inputs.items()},
+        )
+        live = DemoPipeline(
+            cfg, {"params": state.params, "batch_stats": state.batch_stats},
+            assets, max_people=2, use_camcalib=False,
+        )
+        stale_meta = {"source": "bundle", "format_version": 1,
+                      "batch_size": 4}
+        srv = WHMRServer(live, dict(stale_meta), executor=None,
+                         reload_fn=lambda checkpoint=None, bundle=None: live)
+        httpd = srv.bind("127.0.0.1", 0)
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        base = f"http://127.0.0.1:{httpd.server_address[1]}"
+        try:
+            before = json.loads(urllib.request.urlopen(base + "/meta").read())
+            assert before["format_version"] == 1
+            _post(base + "/reload", b"")
+            after = json.loads(urllib.request.urlopen(base + "/meta").read())
+            assert after["source"] == "live checkpoint"
+            assert "format_version" not in after
+            assert after["crop_hw"] == list(live.cfg.crop_hw)
+        finally:
+            httpd.shutdown()
+            httpd.server_close()
+
+    def test_iuv_detector_rejects_frozen_pipeline(self, server):
+        """build_detector('iuv') on a bundle pipeline must fail at
+        CONSTRUCTION (the frozen graph has no live model for the dense-IUV
+        pass) — the checkpoint-started-daemon /reload-to-bundle path would
+        otherwise 500 on every detector request forever."""
+        from whmr_tpu.inference.detector import build_detector
+
+        _url, pipe, _ex = server  # module bundle fixture: pipe.model is None
+        assert pipe.model is None
+        with pytest.raises(ValueError, match="live model"):
+            build_detector("iuv", None, pipeline=pipe)
+
     def test_reload_bundle_mode_swaps_artifact(self, tmp_path):
         """Bundle-mode /reload (round-4): POST {"bundle": dir} atomically
         re-deserializes and swaps the served artifact — the warm

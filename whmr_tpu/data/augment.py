@@ -225,18 +225,53 @@ def random_occluders(rng: np.random.RandomState, n: int = 16) -> list:
     return occluders
 
 
+def _shift_hue(img_f32: np.ndarray, hue_factor: float) -> np.ndarray:
+    """Cyclic hue shift by hue_factor*180 degrees (HSV H channel)."""
+    x = np.clip(img_f32, 0, 255).astype(np.uint8)
+    hsv = cv2.cvtColor(x, cv2.COLOR_RGB2HSV)
+    # cv2 uint8 hue lives in [0, 180)
+    h = (hsv[..., 0].astype(np.int32) + int(round(hue_factor * 180.0))) % 180
+    hsv[..., 0] = h.astype(np.uint8)
+    return cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB).astype(np.float32)
+
+
 def color_jitter(
     img: np.ndarray, rng: np.random.RandomState, p: float = 0.2
 ) -> np.ndarray:
-    """Brightness/contrast jitter (base_dataset.py:198: albumentations
-    ColorJitter(brightness=(0.2,0.4), contrast=(0.3,0.5), p=0.2))."""
+    """Color jitter matching the reference recipe (base_dataset.py:198:
+    albumentations ColorJitter(brightness=(0.2,0.4), contrast=(0.3,0.5),
+    p=0.2)) INCLUDING its defaulted arguments: saturation=0.2 and hue=0.2
+    stay at their torchvision-convention defaults, so saturation factors
+    in [0.8, 1.2] and hue shifts in [-0.2, 0.2] are jittered too, and the
+    four transforms apply in random order. `img` is RGB (uint8 or float
+    in [0, 255]).
+
+    Transform semantics (torchvision/albumentations definitions):
+      brightness: img * b
+      contrast:   img * c + mean(grayscale(img)) * (1 - c)
+      saturation: img * s + grayscale(img) * (1 - s)   (per pixel)
+      hue:        HSV hue channel shifted by h * 180 degrees, wrapped
+    """
     if rng.uniform() > p:
         return img
-    brightness = rng.uniform(0.2, 0.4)
-    contrast = rng.uniform(0.3, 0.5)
-    out = img.astype(np.float32) * brightness
-    mean = out.mean()
-    out = (out - mean) * contrast + mean
+    b = rng.uniform(0.2, 0.4)
+    c = rng.uniform(0.3, 0.5)
+    s = rng.uniform(0.8, 1.2)
+    h = rng.uniform(-0.2, 0.2)
+
+    def gray(x):
+        # ITU-R 601 luma, the torchvision rgb_to_grayscale weighting
+        return x[..., 0] * 0.299 + x[..., 1] * 0.587 + x[..., 2] * 0.114
+
+    ops = [
+        lambda x: x * b,
+        lambda x: x * c + float(gray(np.clip(x, 0, 255)).mean()) * (1.0 - c),
+        lambda x: x * s + gray(x)[..., None] * (1.0 - s),
+        lambda x: _shift_hue(x, h),
+    ]
+    out = img.astype(np.float32)
+    for i in rng.permutation(4):
+        out = ops[int(i)](out)
     return np.clip(out, 0, 255).astype(img.dtype)
 
 

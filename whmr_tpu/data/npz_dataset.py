@@ -154,25 +154,40 @@ class NpzDataset:
         # reference only logs and then crashes, base_dataset.py:270-277 —
         # strictly worse). EVAL: substitution would silently score a
         # neighbor twice and skew benchmark metrics, so fail loudly instead.
+        return self.get_with_rng(index, None)
+
+    def get_with_rng(
+        self, index: int, rng: Optional[np.random.RandomState]
+    ) -> Dict[str, np.ndarray]:
+        """Fetch a sample, drawing augmentation from `rng` (None = derive
+        the per-(seed, epoch, index) stream). MixtureDataset passes its
+        own per-DRAW stream here: with replacement sampling, the same
+        underlying sample can be drawn at several mixture indices per
+        epoch, and deriving from the INNER index alone would hand every
+        such draw bit-identical augmentation (and, with equal seeds, even
+        share streams across member datasets)."""
         if not self.is_train:
-            return self._load_item(index)
+            return self._load_item(index, rng)
         last_err: Optional[Exception] = None
         for attempt in range(8):
             i = (index + attempt) % len(self)
             try:
-                return self._load_item(i)
+                return self._load_item(i, rng)
             except FileNotFoundError as e:
                 logger.warning("fail while loading %s; trying next sample", e)
                 last_err = e
         raise last_err  # 8 consecutive unreadable files: give up loudly
 
-    def _load_item(self, index: int) -> Dict[str, np.ndarray]:
+    def _load_item(
+        self, index: int, rng: Optional[np.random.RandomState] = None
+    ) -> Dict[str, np.ndarray]:
         cfg = self.cfg
         res = cfg.img_res  # (W, H)
         scale = float(self.scale[index])
         center = self.center[index].copy()
         scale_orig, center_orig = scale, center.copy()
-        rng = _derived_rng(self.seed, self.epoch, index)
+        if rng is None:
+            rng = _derived_rng(self.seed, self.epoch, index)
 
         if self.use_augmentation:
             p = A.AugmentParams.sample(
@@ -347,4 +362,10 @@ class MixtureDataset:
         d_idx = min(d_idx, len(self.datasets) - 1)
         ds = self.datasets[d_idx]
         rng = _derived_rng(self.seed, self.epoch, index)
-        return ds[rng.randint(len(ds))]
+        inner = rng.randint(len(ds))
+        # Continue THIS stream for the augmentation draws: it is unique per
+        # (seed, epoch, MIXTURE index), so repeated with-replacement draws
+        # of the same inner sample get fresh augmentation (the reference's
+        # shared np.random stream gives every draw fresh randomness too;
+        # deriving inside the member dataset from the inner index would not)
+        return ds.get_with_rng(inner, rng)

@@ -98,6 +98,7 @@ def _match_image(
     gt_ignore: np.ndarray,
     dt_scores: np.ndarray,
     max_dets: int,
+    gt_crowd: Optional[np.ndarray] = None,
 ):
     """Greedy matching of one image (cocoeval.py evaluateImg semantics).
 
@@ -112,6 +113,9 @@ def _match_image(
     gt_order = np.argsort(gt_ignore, kind="mergesort")  # ignores last
     oks = oks[:, gt_order]
     gig = gt_ignore[gt_order]
+    if gt_crowd is None:
+        gt_crowd = np.zeros_like(gt_ignore)
+    crowd = gt_crowd[gt_order].astype(bool)
 
     d_n, g_n = oks.shape
     dtm = np.zeros((t_n, d_n), np.int64) - 1
@@ -122,8 +126,12 @@ def _match_image(
             iou = min(t, 1 - 1e-10)
             m = -1
             for gi in range(g_n):
-                # gt already matched (ignored gts may rematch)
-                if gtm[ti, gi] >= 0 and not gig[gi]:
+                # gt already matched — only CROWD gts may be rematched
+                # (cocoeval.py: `if gtm[tind,gind]>0 and not iscrowd[gind]`;
+                # a merely-ignored gt, e.g. all keypoints unlabeled, absorbs
+                # ONE detection — further dts must fall through to the FP
+                # cumsum, not pile onto it as ignored)
+                if gtm[ti, gi] >= 0 and not crowd[gi]:
                     continue
                 # non-ignored matches are exhausted once we reach ignores
                 if m > -1 and not gig[m] and gig[gi]:
@@ -150,7 +158,8 @@ def evaluate_oks_ap(
 
     Args:
       gts_per_image: {image_id: {"kps": (G,K,3), "areas": (G,),
-        "bboxes": (G,4), "ignore": (G,) optional}}
+        "bboxes": (G,4), "ignore": (G,) optional, "crowd": (G,) optional
+        (iscrowd flags — the only gts multiple detections may match)}}
       dts_per_image: {image_id: {"kps": (D,K,2|3), "scores": (D,)}}
 
     Returns: {"AP", "AP50", "AP75", "AR"} — the headline COCO keypoint
@@ -192,8 +201,11 @@ def evaluate_oks_ap(
             np.asarray(gt.get("bboxes"), np.float64) if gt.get("bboxes") is not None else None,
             sigmas,
         )
+        gt_crowd = np.asarray(
+            gt.get("crowd", np.zeros(gt_kps.shape[0])), np.float64
+        )
         matched, ignored, scores, n = _match_image(
-            oks, gt_ignore, dt_scores, max_dets
+            oks, gt_ignore, dt_scores, max_dets, gt_crowd=gt_crowd
         )
         all_matched.append(matched)
         all_ignored.append(ignored)
@@ -262,18 +274,23 @@ def load_coco_gt(annotation_json: str, return_name_to_id: bool = False):
             continue
         kps = np.asarray(ann.get("keypoints", []), np.float64).reshape(-1, 3)
         entry = per_img.setdefault(
-            ann["image_id"], {"kps": [], "areas": [], "bboxes": [], "ignore": []}
+            ann["image_id"],
+            {"kps": [], "areas": [], "bboxes": [], "ignore": [], "crowd": []},
         )
         entry["kps"].append(kps)
         entry["areas"].append(float(ann.get("area", ann["bbox"][2] * ann["bbox"][3])))
         entry["bboxes"].append(np.asarray(ann["bbox"], np.float64))
         entry["ignore"].append(float(ann.get("iscrowd", 0) or ann.get("ignore", 0)))
+        # crowd rides separately: it alone grants rematch rights in the
+        # greedy matcher (cocoeval.py evaluateImg iscrowd check)
+        entry["crowd"].append(float(ann.get("iscrowd", 0)))
     gts = {
         img_id: {
             "kps": np.stack(e["kps"]),
             "areas": np.asarray(e["areas"]),
             "bboxes": np.stack(e["bboxes"]),
             "ignore": np.asarray(e["ignore"]),
+            "crowd": np.asarray(e["crowd"]),
         }
         for img_id, e in per_img.items()
     }

@@ -227,6 +227,14 @@ def build_detector(kind: str, bbox_file: str = None, pipeline=None):
     if kind == "iuv":
         if pipeline is None:
             raise ValueError("--detector iuv needs the built pipeline")
+        if pipeline.model is None:
+            # frozen bundles have no live model for the dense-IUV pass;
+            # failing here (construction) beats an AttributeError on the
+            # first detector-path request
+            raise ValueError(
+                "detector 'iuv' needs a live model: this pipeline runs a "
+                "frozen bundle — use contour, full, or file"
+            )
         if not pipeline.cfg.pymaf.aux_supv_on:
             raise ValueError("--detector iuv requires pymaf.aux_supv_on")
         return IUVProposalDetector(pipeline.cfg, pipeline.model, pipeline.variables)

@@ -57,14 +57,20 @@ def render_part_segmentation(
 ) -> jnp.ndarray:
     """(B, H, W) int part map (0 = background, 1..6 = LSP parts)."""
     vp, vz = project_weak_perspective_to_pixels(verts, camera, resolution)
-    labels = vertex_part_labels(assets).astype(np.float32)
+    labels = vertex_part_labels(assets)
+    # One-hot label channels + per-pixel argmax: barycentric interpolation
+    # of the INTEGER label would let a face spanning non-adjacent parts
+    # paint a third, unrelated label (torso(2)/right-leg(5) corners blend
+    # to 3.4 -> rounds to right-arm). Interpolating the 6 indicator
+    # channels and taking the dominant one always returns a label carried
+    # by one of the face's own corners.
+    onehot = np.eye(7, dtype=np.float32)[labels][:, 1:]  # (V, 6)
     attrs = jnp.broadcast_to(
-        jnp.asarray(labels)[None, :, None], (verts.shape[0], labels.shape[0], 1)
+        jnp.asarray(onehot)[None], (verts.shape[0], *onehot.shape)
     )
     out = rasterize(vp, vz, attrs, assets.faces, resolution=resolution)
-    # nearest-label decision: barycentric blend then round (parts are
-    # piecewise constant over large regions; boundaries round either way)
-    return jnp.round(out.attrs[..., 0]).astype(jnp.int32) * out.mask
+    part = jnp.argmax(out.attrs, axis=-1).astype(jnp.int32) + 1
+    return part * out.mask
 
 
 def segmentation_metrics(

@@ -104,16 +104,26 @@ def prepare_crop_batch(
     focal = np.sqrt(h * h + w * w)
     bbox_infos = np.zeros((max_people, 5), np.float32)
 
+    # Crop straight from the source frame: uint8 warpAffine for the uint8
+    # feed (matches the training loader, npz_dataset.py:193-199 — the
+    # reference quantizes crops to uint8 too, imutils.crop:87), one f32
+    # conversion OUTSIDE the loop otherwise. The previous per-detection
+    # image.astype(np.float32) copied the whole frame once per person
+    # (~24 MB x N at 1080p) on the serving hot path.
+    crop_src = image
+    if not (raw_uint8 and image.dtype == np.uint8):
+        crop_src = image.astype(np.float32)
     for i, det in enumerate(detections[:n]):
         center = np.array([det.cx, det.cy], np.float32)
         scale = det.size / 200.0
-        crop = crop_image(image.astype(np.float32), center, scale, res)
+        crop = crop_image(crop_src, center, scale, res)
         if cfg.pymaf.backbone == "vitpose":
             crop = crop[:, 32:-32]
         if raw_uint8:
             # normalization happens on device (quarter the host->device
             # bytes through slow transports)
-            imgs[i] = np.clip(crop, 0, 255).astype(np.uint8)
+            imgs[i] = (crop if crop.dtype == np.uint8
+                       else np.clip(crop, 0, 255).astype(np.uint8))
         else:
             imgs[i] = normalize_image(crop / 255.0)
         centers[i] = center
@@ -149,9 +159,11 @@ def prepare_full_image(cfg: WHMRConfig, image: np.ndarray, raw_uint8: bool = Fal
         canvas = np.zeros((th, tw, 3), np.uint8)
         canvas[: resized.shape[0], : resized.shape[1]] = resized
         return canvas
+    from whmr_tpu.data.augment import normalize_image
+
     canvas = np.zeros((th, tw, 3), np.float32)
     canvas[: resized.shape[0], : resized.shape[1]] = resized
-    return normalize_np(canvas / 255.0)
+    return normalize_image(canvas / 255.0).astype(np.float32)
 
 
 def call_detector(detector, image: np.ndarray, name: str = ""):
@@ -172,12 +184,6 @@ def detections_array(dets: Sequence[Detection]) -> np.ndarray:
         [[d.cx, d.cy, d.size, d.score, d.track_id] for d in dets],
         np.float32,
     ).reshape(len(dets), 5)
-
-
-def normalize_np(img01: np.ndarray) -> np.ndarray:
-    mean = np.asarray(IMG_NORM_MEAN, np.float32)
-    std = np.asarray(IMG_NORM_STD, np.float32)
-    return ((img01 - mean) / std).astype(np.float32)
 
 
 class DemoPipeline:

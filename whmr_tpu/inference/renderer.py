@@ -30,8 +30,14 @@ def _load_native():
     if _LIB is not None:
         return _LIB
     so_path = os.path.join(_NATIVE_DIR, "libwhmr_native.so")
-    if not os.path.exists(so_path):
+    try:
+        # Always let make decide: it is a no-op when the .so is newer than
+        # rasterizer.cpp, and rebuilds a stale one after source edits (the
+        # old exists()-only check would happily load outdated code).
         subprocess.run(["make", "-C", _NATIVE_DIR], check=True, capture_output=True)
+    except (OSError, subprocess.CalledProcessError):
+        if not os.path.exists(so_path):
+            raise  # no toolchain AND no prebuilt library: nothing to load
     lib = ctypes.CDLL(so_path)
     lib.whmr_render_overlay.argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.c_int,

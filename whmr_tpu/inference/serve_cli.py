@@ -632,10 +632,17 @@ class WHMRServer:
                     "`whmr-export --camcalib split`, or restart the daemon "
                     "with --no_coalesce"
                 )
-            _warmup_pipeline(new_pipe)
+            _warmup_pipeline(new_pipe, coalesced=self.executor is not None)
             served = getattr(new_pipe, "_served", None)
             if served is not None and getattr(served, "meta", None):
                 self.meta = dict(served.meta)
+            else:
+                # live-checkpoint pipelines carry no meta.json: rebuild the
+                # same default main() constructs, else a bundle→checkpoint
+                # reload keeps serving the RETIRED bundle's meta (dtypes,
+                # batch capacity, platforms) from /meta
+                self.meta = {"source": "live checkpoint",
+                             "crop_hw": list(new_pipe.cfg.crop_hw)}
             self.pipeline = new_pipe
             if self.executor is not None:
                 # a re-exported bundle may carry a different batch capacity
@@ -658,17 +665,30 @@ class _ReloadUnsupported(RuntimeError):
     pass
 
 
-def _warmup_pipeline(pipeline) -> None:
-    """Compile a pipeline's forward with a dummy single-detection image
-    (used by --warmup at startup and by /reload before the swap)."""
+def _warmup_pipeline(pipeline, coalesced: bool = False) -> None:
+    """Compile a pipeline's SERVING signature with a dummy single-detection
+    image (used by --warmup at startup and by /reload before the swap).
+
+    coalesced=True warms the jit variant the coalescing worker actually
+    calls — fwd(chunk-with-cam_rotmat, full_u8=None) plus the per-frame
+    _cam_fwd — via a throwaway BatchingExecutor on `pipeline` (same padded
+    capacity, same cam_rotmat row layout as the live worker). run_image's
+    dispatch_image(batch, full_x) is a DIFFERENT signature: warming only it
+    would leave the first coalesced batch to compile against live traffic."""
     import numpy as np
 
     from whmr_tpu.inference.pipeline import Detection
 
-    pipeline.run_image(
-        np.zeros((64, 64, 3), np.uint8),
-        dets=[Detection(32.0, 32.0, 48.0)],
-    )
+    dummy = np.zeros((64, 64, 3), np.uint8)
+    dets = [Detection(32.0, 32.0, 48.0)]
+    if coalesced:
+        tmp = BatchingExecutor(pipeline, max_wait_ms=0.0)
+        try:
+            tmp.submit(dummy, dets=dets)
+        finally:
+            tmp.shutdown()
+    else:
+        pipeline.run_image(dummy, dets=dets)
 
 
 def main(argv=None):
@@ -700,6 +720,18 @@ def main(argv=None):
         elif bundle is not None:
             a.bundle, a.checkpoint = bundle, None
         p = build_pipeline(a)
+        if kind == "iuv" and p.model is None:
+            # detector_kind() rejects --bundle + --detector iuv at startup,
+            # but a checkpoint-started daemon (kind defaults to 'iuv') can
+            # /reload to a bundle: the frozen pipeline has no live model
+            # for the dense-IUV pass, and without this check the reload
+            # would succeed and every detector-path request 500 forever
+            raise ValueError(
+                "reload rejected: this daemon's detector is 'iuv' (the "
+                "default for --checkpoint daemons), which needs the live "
+                "model — reload from a checkpoint, or restart with "
+                "--detector contour/full to serve bundles"
+            )
         p.detector = build_detector(kind, None, pipeline=p)
         return p
 
@@ -715,15 +747,7 @@ def main(argv=None):
         executor = BatchingExecutor(pipeline,
                                     max_wait_ms=args.coalesce_wait_ms)
     if args.warmup:
-        if executor is not None:
-            import numpy as np
-
-            from whmr_tpu.inference.pipeline import Detection
-
-            executor.submit(np.zeros((64, 64, 3), np.uint8),
-                            dets=[Detection(32.0, 32.0, 48.0)])
-        else:
-            _warmup_pipeline(pipeline)
+        _warmup_pipeline(pipeline, coalesced=executor is not None)
         print("[serve] warmup compile done", flush=True)
     server = WHMRServer(pipeline, meta, executor=executor,
                         reload_fn=make_pipeline)

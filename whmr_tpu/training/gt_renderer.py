@@ -29,8 +29,42 @@ from whmr_tpu.ops.rasterizer_pallas import spatial_sort_faces
 
 
 class RenderConsts(NamedTuple):
-    vertex_iuv: jnp.ndarray  # (V, 3): part_index/24, U, V
-    faces: np.ndarray        # (F, 3) static topology, KD-sorted for cull
+    vertex_iuv: jnp.ndarray  # (Vr, 3): part_index/24, U, V per RENDER vertex
+    faces: np.ndarray        # (F, 3) static topology over render verts,
+    #                          KD-sorted for cull; every face is part-PURE
+    vertex_map: np.ndarray   # (Vr,) render vertex -> source mesh vertex
+    source_verts: int        # vertex count of the source mesh (6890 or 1723)
+
+
+def _duplicate_part_seams(
+    vert_part: np.ndarray,   # (Vs,) int part id per source vertex
+    uv: np.ndarray,          # (Vs, 2) U/V per source vertex
+    faces: np.ndarray,       # (F, 3) over source vertices
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Split seam vertices so every face carries a single part index.
+
+    Barycentric interpolation of the part CHANNEL across a face whose
+    corners belong to different parts emits intermediate values that
+    iuv_img2map rounds to unrelated part labels (a torso/leg seam face
+    painting "right arm" pixels). DensePose avoids this by construction —
+    its chart has 7829 samples for 6890 SMPL verts, seam vertices
+    duplicated per part so faces are part-pure (renderer.py:302-328
+    vert_mapping + per-sample textures). This reproduces that structure
+    for any per-vertex part labeling: each face takes its majority corner
+    part, and a render vertex is minted per used (source vertex, part)
+    pair. Returns (vertex_map, vert_iuv, faces) over render vertices.
+    """
+    fp = vert_part[faces]                       # (F, 3)
+    face_part = np.where(fp[:, 1] == fp[:, 2], fp[:, 1], fp[:, 0])
+    pairs = np.stack(
+        [faces.reshape(-1), np.repeat(face_part, 3)], axis=1
+    )                                           # (F*3, 2)
+    uniq, inv = np.unique(pairs, axis=0, return_inverse=True)
+    vertex_map = uniq[:, 0].astype(np.int64)
+    vert_iuv = np.concatenate(
+        [uniq[:, 1:2].astype(np.float32) / 24.0, uv[vertex_map]], axis=1
+    ).astype(np.float32)
+    return vertex_map, vert_iuv, inv.reshape(-1, 3).astype(np.int64)
 
 
 def build_render_consts(
@@ -39,6 +73,16 @@ def build_render_consts(
     mesh: str = "full",
 ) -> RenderConsts:
     """Vertex IUV chart: real DensePose data if given, synthetic otherwise.
+
+    All chart paths produce PART-PURE faces (every corner of a face has the
+    same part index), matching the reference's duplicated-vertex DensePose
+    mesh (renderer.py:302-328): the rasterizer interpolates vertex
+    attributes barycentrically, and only a part-pure topology guarantees
+    the interpolated part channel never crosses label boundaries — a
+    shared-vertex chart would paint bands of unrelated part labels along
+    every seam of the GT supervision maps. Render vertices therefore index
+    a slightly larger duplicated set; `vertex_map` gathers their positions
+    from the source mesh at render time.
 
     mesh="sub" (opt-in via cfg.pymaf.gt_render_mesh) rasterizes the
     1723-vert downsampled mesh instead of the full 6890-vert surface:
@@ -54,35 +98,42 @@ def build_render_consts(
         import scipy.io
 
         dp = scipy.io.loadmat(densepose_mat)
-        # DensePose stores per-sample (7829) entries indexed into SMPL verts
-        # (All_vertices 1-based); collapse to one value per SMPL vertex.
+        # DensePose stores per-sample entries (7829 for 6890 SMPL verts,
+        # seam vertices pre-duplicated per part) indexed into SMPL verts
+        # via All_vertices (1-based). Keep that topology as the render
+        # mesh — exactly the reference's vert_mapping construction
+        # (renderer.py:302-328).
         all_vertices = dp["All_vertices"].reshape(-1).astype(np.int64) - 1
-        part = dp["All_FaceIndices"].reshape(-1)
+        face_part = dp["All_FaceIndices"].reshape(-1)
         u_norm = dp["All_U_norm"].reshape(-1)
         v_norm = dp["All_V_norm"].reshape(-1)
-        vert_iuv = np.zeros((v, 3), np.float32)
-        # faces' part indices -> spread onto their vertices; vectorized
-        # fancy assignment keeps the same last-write-wins order as a
-        # face-then-corner loop (rows are written in flattened face order)
-        faces_dp = dp["All_Faces"].astype(np.int64) - 1
-        flat_dp = faces_dp.reshape(-1)             # (F*3,) densepose verts
-        sm = all_vertices[flat_dp]                 # their SMPL vertex ids
-        vert_iuv[sm, 0] = np.repeat(part, 3) / 24.0
-        vert_iuv[sm, 1] = u_norm[flat_dp]
-        vert_iuv[sm, 2] = v_norm[flat_dp]
+        faces_dp = dp["All_Faces"].astype(np.int64) - 1  # (F, 3) dp verts
+        # Per-dp-vertex part = part of the FIRST face containing it
+        # (reference dp_vert_pid, renderer.py:316-322). Reversed fancy
+        # assignment makes the first write win. DensePose dp verts belong
+        # to one part each, so faces stay part-pure.
+        vert_pid = np.zeros(all_vertices.shape[0], np.float32)
+        flat_rev = faces_dp.reshape(-1)[::-1]
+        vert_pid[flat_rev] = np.repeat(face_part, 3)[::-1]
+        vert_iuv = np.stack(
+            [vert_pid / 24.0, u_norm, v_norm], axis=-1
+        ).astype(np.float32)
+        vertex_map = all_vertices
+        faces_np = faces_dp
     else:
         # Synthetic chart: part = argmax LBS weight (1..24), U/V from a
-        # smooth per-part planar projection of the template.
+        # smooth per-part planar projection of the template; seam verts
+        # duplicated per part like the real DensePose chart.
         part = assets.lbs_weights.argmax(axis=1) + 1  # 1..24 (0 = background)
         vt = assets.v_template
         lo = vt.min(axis=0)
         hi = vt.max(axis=0)
-        uv = (vt - lo) / np.maximum(hi - lo, 1e-6)
-        vert_iuv = np.stack(
-            [part.astype(np.float32) / 24.0, uv[:, 0], uv[:, 1]], axis=-1
-        ).astype(np.float32)
-    faces_np = np.asarray(assets.faces)
+        uv = ((vt - lo) / np.maximum(hi - lo, 1e-6))[:, :2].astype(np.float32)
+        vertex_map, vert_iuv, faces_np = _duplicate_part_seams(
+            part.astype(np.int64), uv, np.asarray(assets.faces, np.int64)
+        )
     template = np.asarray(assets.v_template)
+    source_verts = v
     if mesh == "sub":
         dmap0 = np.asarray(assets.dmap0)  # (1723, 6890) pooling/selection
         rows = dmap0.sum(axis=1, keepdims=True)
@@ -97,27 +148,46 @@ def build_render_consts(
         from scipy.spatial import cKDTree
 
         owner = cKDTree(pooled).query(template)[1].astype(np.int64)
-        rep = dmap0.argmax(axis=1)        # sub vert -> heaviest member
-        vert_iuv = np.asarray(vert_iuv)[rep]
-        mapped = owner[faces_np]
+        # Collapse the duplicated render mesh onto sub verts, re-minting
+        # render vertices per (sub vertex, part) pair so faces STAY
+        # part-pure; U/V come from the first member of each group.
+        sub_of_r = owner[vertex_map]
+        part_r = np.round(vert_iuv[:, 0] * 24.0).astype(np.int64)
+        pairs = np.stack([sub_of_r, part_r], axis=1)
+        uniq, first, inv = np.unique(
+            pairs, axis=0, return_index=True, return_inverse=True
+        )
+        new_map = uniq[:, 0].astype(np.int64)
+        vert_iuv = np.concatenate(
+            [uniq[:, 1:2].astype(np.float32) / 24.0, vert_iuv[first, 1:]],
+            axis=1,
+        ).astype(np.float32)
+        mapped = inv[faces_np]              # faces over new render verts
+        msub = new_map[mapped]              # their sub-vertex POSITIONS
         keep = (
-            (mapped[:, 0] != mapped[:, 1])
-            & (mapped[:, 1] != mapped[:, 2])
-            & (mapped[:, 0] != mapped[:, 2])
+            (msub[:, 0] != msub[:, 1])
+            & (msub[:, 1] != msub[:, 2])
+            & (msub[:, 0] != msub[:, 2])
         )
         # Orientation-agnostic dedup: faces that collapse onto the same sub
         # triangle shade identically (the rasterizer has no backface cull),
         # so keeping one copy halves redundant coverage work.
-        faces_np = np.unique(
-            np.sort(mapped[keep], axis=1), axis=0
-        ).astype(np.int32)
+        faces_np = np.unique(np.sort(mapped[keep], axis=1), axis=0)
+        vertex_map = new_map
         template = pooled
+        source_verts = pooled.shape[0]
     elif mesh != "full":
         raise ValueError(f"mesh must be 'full' or 'sub', got {mesh!r}")
+    faces_np = faces_np.astype(np.int32)
     # KD-sort the topology once so every rasterizer face chunk is a
     # compact surface patch -> small projected bbox -> tile culling bites.
-    faces_sorted = spatial_sort_faces(faces_np, template)
-    return RenderConsts(vertex_iuv=jnp.asarray(vert_iuv), faces=faces_sorted)
+    faces_sorted = spatial_sort_faces(faces_np, template[vertex_map])
+    return RenderConsts(
+        vertex_iuv=jnp.asarray(vert_iuv),
+        faces=faces_sorted,
+        vertex_map=vertex_map.astype(np.int32),
+        source_verts=int(source_verts),
+    )
 
 
 def render_gt_maps(
@@ -133,10 +203,14 @@ def render_gt_maps(
 
     Mirrors trainer.py:442-464: render at DP_HEATMAP_SIZE with the GT weak
     camera, slice width 16:-16 for the vitpose 128x96 feature grid, zero out
-    invalid samples.
+    invalid samples. `gt_vertices` is the SOURCE mesh (6890 full / 1723
+    sub); positions are gathered onto the duplicated part-pure render
+    topology via consts.vertex_map (the reference's `verts[:,
+    vert_mapping]`, renderer.py:434-437).
     """
+    render_verts = jnp.take(gt_vertices, jnp.asarray(consts.vertex_map), axis=1)
     vp, vz = project_weak_perspective_to_pixels(
-        gt_vertices, gt_camera, heatmap_size
+        render_verts, gt_camera, heatmap_size
     )
     raster_res = heatmap_size
     origin = (0.0, 0.0)

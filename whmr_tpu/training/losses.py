@@ -133,13 +133,19 @@ def iuv_losses(
     loss_ann = jnp.sum(ce_a * mask) / denom * gate
 
     if point_regression_weight > 0 and u_pred is not None:
-        # Smooth-L1 on U/V inside foreground parts, sum/batch (trainer.py:285-290).
+        # Smooth-L1 on U/V at each pixel's GT one-hot channel (the
+        # reference's `u_pred[Imap > 0]` selects exactly one channel per
+        # pixel, including channel 0 -> target 0 on background), summed and
+        # divided by the FULL batch size — `batch_size = index_pred.size(0)`
+        # is captured BEFORE the has_iuv masking (trainer.py:256,282-283),
+        # so invalid samples dilute the term rather than renormalizing it.
         fg = (uvia_gt["index"] > 0).astype(u_pred.dtype)
         hub_u = optax.losses.huber_loss(u_pred, uvia_gt["u"], delta=1.0) * fg
         hub_v = optax.losses.huber_loss(v_pred, uvia_gt["v"], delta=1.0) * fg
         valid4 = mask[:, None, None, None]
-        loss_u = jnp.sum(hub_u * valid4) / denom * point_regression_weight
-        loss_v = jnp.sum(hub_v * valid4) / denom * point_regression_weight
+        full_b = jnp.float32(b)
+        loss_u = jnp.sum(hub_u * valid4) / full_b * point_regression_weight
+        loss_v = jnp.sum(hub_v * valid4) / full_b * point_regression_weight
     else:
         loss_u = jnp.float32(0)
         loss_v = jnp.float32(0)

@@ -214,7 +214,7 @@ def _microbatch_grads(
         gt_camera = gt_camera_from_cam_t(jax.lax.stop_gradient(opt_cam_t))
         # gt_render_mesh="sub" renders the already-computed dmap0-pooled
         # vertices (coarse mesh, ~4x fewer faces — see build_render_consts).
-        n_rv = render_consts.vertex_iuv.shape[0]
+        n_rv = render_consts.source_verts
         expect = (
             consts.dmap0.shape[0]
             if cfg.pymaf.gt_render_mesh == "sub"
@@ -222,7 +222,7 @@ def _microbatch_grads(
         )
         if n_rv != expect:
             raise ValueError(
-                f"render_consts has {n_rv} vertices but "
+                f"render_consts sources {n_rv} vertices but "
                 f"cfg.pymaf.gt_render_mesh={cfg.pymaf.gt_render_mesh!r} "
                 f"expects {expect}: build_render_consts(mesh=...) and the "
                 "config disagree"
