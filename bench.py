@@ -236,6 +236,12 @@ def main():
         metric += "_camcalib"
     if opts.attn:
         metric += f"_attn_{opts.attn}"
+    if opts.cfg_file:
+        # a ViT-L/H preset prints a much lower (correct) number — without a
+        # suffix it would be indistinguishable from a ViT-B headline
+        # regression to anything collecting these JSON lines
+        stem = os.path.splitext(os.path.basename(opts.cfg_file))[0]
+        metric += f"_{stem.replace('-', '_')}"
     print(
         json.dumps(
             {

@@ -95,9 +95,13 @@ def analyze(hlo: str, n: int, tp: int):
     dp = n // tp
 
     # Parse collectives: op kind, element type/shape, replica groups.
+    # The shape is a single token (f32[64,128]{1,0}) OR a parenthesized
+    # TUPLE ((bf16[...], bf16[...])) — XLA's AllReduceCombiner merges
+    # per-parameter gradient reductions into variadic collectives, and a
+    # \S+ shape pattern would silently skip exactly those dominant ops.
     pat = re.compile(
-        r"(\w[\w.\-]*) = (\S+) (all-reduce|all-gather|reduce-scatter|"
-        r"all-to-all|collective-permute)\(",
+        r"(\w[\w.\-]*) = (\([^)]*\)|\S+) (all-reduce|all-gather|"
+        r"reduce-scatter|all-to-all|collective-permute)\(",
     )
     group_pat = re.compile(
         r"replica_groups=(\{\{.*?\}\}|\[[\d,]+\]<=\[[\d,]+\](?:T\([\d,]+\))?)"
@@ -106,15 +110,16 @@ def analyze(hlo: str, n: int, tp: int):
                    "pred": 1, "f64": 8, "s64": 8}
 
     def payload(shape_str):
-        m = re.match(r"(\w+)\[([\d,]*)\]", shape_str)
-        if not m:
-            return 0
-        dt, dims = m.groups()
-        elems = 1
-        for d in dims.split(","):
-            if d:
-                elems *= int(d)
-        return elems * dtype_bytes.get(dt, 4)
+        # sums every array in the shape: one term for plain shapes, all
+        # members for variadic (tuple) collectives
+        total = 0
+        for dt, dims in re.findall(r"(\w+)\[([\d,]*)\]", shape_str):
+            elems = 1
+            for d in dims.split(","):
+                if d:
+                    elems *= int(d)
+            total += elems * dtype_bytes.get(dt, 4)
+        return total
 
     # Axis classification from replica groups: the mesh is laid out
     # devices.reshape(dp, tp) — tp groups are consecutive ids {0,1},{2,3}...;

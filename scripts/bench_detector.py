@@ -43,37 +43,22 @@ def main(argv=None):
         }))
 
         if args.checkpoint:
-            import jax
-            import jax.numpy as jnp
+            import types
 
             from whmr_tpu.config import WHMRConfig
-            from whmr_tpu.data.assets import get_assets
             from whmr_tpu.inference.detector import IUVProposalDetector
-            from whmr_tpu.models.regressor import body_consts_from_assets
-            from whmr_tpu.models.whmr import WHMR
-            from whmr_tpu.training.train_step import create_train_state
-            from whmr_tpu.utils.checkpoint import CheckpointManager
-            from whmr_tpu.utils.testing import make_example_inputs
+            from whmr_tpu.inference.eval_cli import load_model_state
 
             cfg = WHMRConfig()
-            model = WHMR(cfg)
-            consts = body_consts_from_assets(get_assets(None))
-            example = make_example_inputs(cfg, 2)
-            state = create_train_state(
-                cfg, model, consts, jax.random.PRNGKey(0),
-                {k: jnp.asarray(v) for k, v in example.items()},
+            # one definition of build-model+restore (the third copy of this
+            # block drifted once already — see round-5 review)
+            model, variables, _consts, _assets = load_model_state(
+                types.SimpleNamespace(
+                    checkpoint=args.checkpoint, data_dir=None,
+                    regressor="pymaf_net",
+                ),
+                cfg,
             )
-            import numpy as np
-
-            restored = CheckpointManager(args.checkpoint).restore_weights(
-                {"params": state.params, "batch_stats": state.batch_stats,
-                 "opt_state": state.opt_state,
-                 "step": np.zeros((), np.int32), "epoch": 0, "batch_idx": 0}
-            )
-            if restored is None:
-                raise SystemExit(f"no checkpoint in {args.checkpoint}")
-            variables = {"params": restored["params"],
-                         "batch_stats": restored["batch_stats"]}
             det = IUVProposalDetector(cfg, model, variables)
             s = score_detector(det, frames, gt)
             print(json.dumps({

@@ -221,8 +221,14 @@ def bench_step(
     def run(state, consts, batch, rng):
         def body(i, carry):
             st, tok = carry
-            b = dict(batch)
-            b["img"] = batch["img"] + (tok * 0).astype(batch["img"].dtype)
+            # EVERY batch field must depend on the carry, not just img:
+            # pose/betas/keypoints feed the GT-supervision branch
+            # (rodrigues -> GT SMPL -> LSQ camera -> render), which is
+            # state-independent — leaving them loop-invariant lets XLA's
+            # while-loop LICM hoist the whole GT side out of the timed
+            # loop (the same hazard bench.py guards for CamCalib).
+            z = tok * 0
+            b = {k: v + z.astype(v.dtype) for k, v in batch.items()}
             st, metrics = train_step(
                 cfg, model, st, consts, b, rng, render_consts=rc
             )
@@ -327,8 +333,9 @@ def bench_bisect(batch: int):
             @jax.jit
             def run(params, stats, consts, b, rng):
                 def body(i, carry):
-                    bb = dict(b)
-                    bb["img"] = b["img"] + (carry * 0).astype(b["img"].dtype)
+                    # every field carry-dependent: see bench_step's LICM note
+                    z = carry * 0
+                    bb = {k: v + z.astype(v.dtype) for k, v in b.items()}
                     return carry + fwd_loss(params, stats, consts, bb, rng, with_loss)
 
                 return lax.fori_loop(0, iters, body, jnp.float32(0))
@@ -439,8 +446,9 @@ def bench_bisect_aux(batch: int):
         @jax.jit
         def run(params, stats, consts, b, rng):
             def body(i, carry):
-                bb = dict(b)
-                bb["img"] = b["img"] + (carry * 0).astype(b["img"].dtype)
+                # every field carry-dependent: see bench_step's LICM note
+                z = carry * 0
+                bb = {k: v + z.astype(v.dtype) for k, v in b.items()}
                 return carry + fwd_loss(params, stats, consts, bb, rng, mode)
 
             return lax.fori_loop(0, iters, body, jnp.float32(0))

@@ -43,6 +43,23 @@ class TestCheckpointManager:
             got["params"]["w"], payload(7, 7)["params"]["w"]
         )
 
+    def test_same_step_resave_is_noop_but_tracks_metric(self, tmp_path):
+        """An epoch-boundary save landing on the same step as a periodic
+        --save_every save (or a resumed run's first boundary save at the
+        restored step) must not crash with orbax StepAlreadyExistsError;
+        the best-metric copy still updates."""
+        mgr = CheckpointManager(str(tmp_path / "ck"))
+        mgr.save(10, payload(1, 10), block=True)          # periodic save
+        mgr.save(10, payload(1, 10), metric=5.0, block=True)  # boundary save
+        assert mgr.latest_step() == 10
+        # metric fed best tracking even though the step write was skipped
+        best = mgr.restore_best(template=payload(0, 0))
+        assert best is not None and best["step"] == 10
+        # a later better metric still replaces the best copy
+        mgr.save(20, payload(2, 20), metric=1.0, block=True)
+        best = mgr.restore_best(template=payload(0, 0))
+        assert best["step"] == 20
+
     def test_restore_weights_accepts_any_template_x_payload_shape(self, tmp_path):
         """restore_weights must load the weight subtrees for every
         combination of checkpoint flavor (full train payload vs

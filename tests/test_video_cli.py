@@ -79,6 +79,23 @@ class TestTrackingDetector:
         second = det(img)[0].track_id
         assert first != second
 
+    def test_tracks_age_out_across_empty_frames(self):
+        """A detection gap must still tick the tracker: without it a track
+        (and its one-Euro filter, with minutes-old state) survives any gap
+        and reattaches its identity to the next person near the old bbox."""
+        det = TrackingDetector(lambda img: [Detection(100, 80, 40)])
+        img = np.zeros((160, 200, 3), np.uint8)
+        first = det(img)[0].track_id
+        assert det.filters  # filter state exists for the live track
+        det.base = lambda img: []  # person leaves the frame
+        for _ in range(det.tracker.max_age + 2):
+            assert det(img) == []
+        assert not det.tracker._tracks  # track aged out during the gap
+        assert not det.filters          # filter state pruned with it
+        det.base = lambda img: [Detection(100, 80, 40)]  # same spot, later
+        again = det(img)[0].track_id
+        assert again != first  # new identity, not the stale track's
+
 
 class TestVideoCLI:
     def test_end_to_end(self, tmp_path, monkeypatch):

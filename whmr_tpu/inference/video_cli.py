@@ -49,6 +49,16 @@ class TrackingDetector:
         except TypeError:
             dets = self.base(image)
         if not dets:
+            # Still tick the tracker: tracks only age out inside update(),
+            # so skipping it during detection gaps would keep stale ids
+            # (and their one-Euro filter state, _x_prev minutes old) alive
+            # forever — the next person near an old bbox would inherit a
+            # dead track's identity and be smoothed toward its position.
+            self.tracker.update(np.zeros((0, 4), np.float32))
+            live = set(self.tracker._tracks)
+            for tid in list(self.filters):
+                if tid not in live:
+                    del self.filters[tid]
             return dets
         boxes = np.array(
             [

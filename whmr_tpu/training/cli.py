@@ -98,6 +98,13 @@ def main(argv=None):
     from whmr_tpu.training.trainer import Trainer
 
     cfg = load_yaml(args.cfg_file) if args.cfg_file else WHMRConfig()
+    if len(args.misc) % 2:
+        # an odd list means a forgotten value (or key): pairing would
+        # silently shift every following override onto the wrong key
+        raise SystemExit(
+            f"--misc needs key value pairs; got an odd number of tokens "
+            f"({len(args.misc)}): {' '.join(args.misc)}"
+        )
     overrides = dict(zip(args.misc[::2], args.misc[1::2]))
     if args.batch_size:
         overrides["train.batch_size"] = args.batch_size
@@ -114,6 +121,16 @@ def main(argv=None):
     if not args.train_npz:
         raise SystemExit("--train_npz is required (reference-format label npz)")
     img_dirs = args.img_dir or [os.path.dirname(p) for p in args.train_npz]
+    if len(img_dirs) == 1 and len(args.train_npz) > 1:
+        # one shared image root for several label files is a common layout
+        img_dirs = img_dirs * len(args.train_npz)
+    if len(img_dirs) != len(args.train_npz):
+        # zip would silently DROP the unmatched label files from the mixture
+        raise SystemExit(
+            f"--img_dir count ({len(img_dirs)}) must match --train_npz "
+            f"count ({len(args.train_npz)}) — or pass exactly one shared "
+            "image root"
+        )
     datasets = [
         NpzDataset(cfg, npz, img_dir, name=os.path.basename(npz),
                    is_train=True, use_augmentation=not args.no_aug,

@@ -496,21 +496,20 @@ class Trainer:
             variables = {"params": state.params, "batch_stats": state.batch_stats}
 
             def batches():
+                # Same prep as whmr-eval (ONE definition): in particular
+                # 'global_pose' must ride along — run_evaluation rotates
+                # predictions into the world frame via cam_rotmat, and a
+                # dropped global_pose would silently score them against the
+                # crop-local 'pose' (the mismatch eval_cli hard-aborts on),
+                # inflating MPJPE/PVE and mis-ranking best checkpoints.
+                from whmr_tpu.inference.eval_cli import device_eval_batch
+
                 for hb in val_loader_factory():
-                    b = {
-                        k: jnp.asarray(v)
-                        for k, v in hb.items()
-                        if k in (
-                            "img", "center", "scale", "bbox_height",
-                            "orig_shape", "bbox_info", "pose", "betas", "gender",
-                        )
-                    }
-                    n = b["img"].shape[0]
+                    b, n = device_eval_batch(
+                        hb,
+                        extra_keys=("pose", "betas", "gender", "global_pose"),
+                    )
                     b["valid"] = jnp.asarray(hb.get("has_smpl", np.ones(n)))
-                    if "cam_rotmat" in hb:
-                        b["cam_rotmat"] = jnp.asarray(hb["cam_rotmat"])
-                    else:
-                        b["cam_rotmat"] = jnp.broadcast_to(jnp.eye(3), (n, 3, 3))
                     yield b
 
             return run_evaluation(

@@ -62,9 +62,18 @@ class CheckpointManager:
         the disk write continues on its background thread — net-new vs the
         reference's synchronous torch.save (saver.py:26-64); mid-epoch
         periodic saves then cost the device_get only, not the disk IO. Any
-        in-flight save is always drained first, so saves never interleave."""
+        in-flight save is always drained first, so saves never interleave.
+
+        Saving a step that is already the latest on disk is a NO-OP for the
+        step artifact (orbax raises StepAlreadyExistsError on a second save
+        at the same step): it happens legitimately when an epoch-boundary
+        save lands on the same step as a --save_every periodic save, or
+        when a resumed run's first boundary save lands on the restored
+        step. The best-metric copy below still runs, so boundary metrics
+        keep feeding best-checkpoint tracking."""
         self.wait_until_finished()
-        self._mgr.save(step, args=ocp.args.StandardSave(payload))
+        if self._mgr.latest_step() != step:
+            self._mgr.save(step, args=ocp.args.StandardSave(payload))
         if metric is not None:
             better = (
                 self._best_metric is None
