@@ -41,3 +41,42 @@ def test_agora_and_convert_help():
         with pytest.raises(SystemExit) as e:
             mod.main(["--help"])
         assert e.value.code == 0
+
+
+class TestTrainCLIArgValidation:
+    """whmr-train must reject, not silently mangle, malformed argument
+    combinations (round-5 review: zip truncation dropped whole datasets;
+    odd --misc lists shifted every following override onto the wrong key)."""
+
+    def test_odd_misc_list_rejected(self):
+        from whmr_tpu.training import cli
+
+        with pytest.raises(SystemExit, match="odd number"):
+            cli.main([
+                "--train_npz", "a.npz", "--misc", "train.base_lr",
+            ])
+
+    def test_img_dir_count_mismatch_rejected(self):
+        from whmr_tpu.training import cli
+
+        with pytest.raises(SystemExit, match="must match"):
+            cli.main([
+                "--train_npz", "a.npz", "--train_npz", "b.npz",
+                "--train_npz", "c.npz",
+                "--img_dir", "d1", "--img_dir", "d2",
+            ])
+
+    def test_single_img_dir_broadcasts(self, tmp_path):
+        """One shared image root for several label files must reach EVERY
+        dataset (the zip-truncation bug dropped all but the first)."""
+        from whmr_tpu.training import cli
+
+        # missing npz files fail at NpzDataset load — AFTER the arg checks;
+        # the error naming the second file proves it was NOT dropped
+        with pytest.raises(Exception) as e:
+            cli.main([
+                "--train_npz", str(tmp_path / "a.npz"),
+                "--train_npz", str(tmp_path / "b.npz"),
+                "--img_dir", str(tmp_path),
+            ])
+        assert "a.npz" in str(e.value)

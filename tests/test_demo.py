@@ -55,6 +55,28 @@ class TestCropBatch:
         out = det(np.zeros((480, 640, 3), np.uint8))
         assert len(out) == 1 and out[0].size == 640
 
+    def test_raw_uint8_crop_matches_training_loader(self):
+        """The serving uint8 feed must carry the SAME pixel values the
+        training loader produces for the same (center, scale): both warp
+        the uint8 frame directly (npz_dataset.py crops in uint8; the
+        reference quantizes via PIL uint8, imutils.crop:87). A drift back
+        to f32-crop-then-truncate would skew serve vs train by rounding."""
+        from whmr_tpu.data import augment as A
+
+        cfg = tiny_config()
+        img = np.random.RandomState(1).randint(0, 255, (480, 640, 3), np.uint8)
+        det = Detection(320.0, 240.0, 300.0)
+        batch = prepare_crop_batch(cfg, img, [det], max_people=1,
+                                   raw_uint8=True)
+        want = A.crop_image(
+            img, np.array([det.cx, det.cy], np.float32),
+            det.size / 200.0, cfg.img_res,
+        )
+        if cfg.pymaf.backbone == "vitpose":
+            want = want[:, 32:-32]
+        assert batch["x"].dtype == np.uint8
+        np.testing.assert_array_equal(batch["x"][0], want)
+
 
 class TestPipeline:
     def test_run_image(self, pipeline):

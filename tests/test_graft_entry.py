@@ -72,6 +72,26 @@ def test_cpu_fallback_leaves_real_multichip_backends_alone():
     assert "noop OK" in res.stdout
 
 
+@pytest.mark.smoke
+def test_axon_leads_decision_table():
+    """The guard's DECISION, tested directly: once the backend is 'cpu',
+    observable jax state is identical whether a no-op or a wrongly-firing
+    guard ran, so the subprocess tests above cannot catch a guard that
+    overrides EVERY platform list (which would silently run a real TPU
+    pod's dryrun on virtual CPU devices)."""
+    from __graft_entry__ import _axon_leads
+
+    assert _axon_leads("axon")
+    assert _axon_leads("axon,cpu")
+    assert _axon_leads(" axon , cpu ")
+    assert not _axon_leads("cpu")
+    assert not _axon_leads("tpu")
+    assert not _axon_leads("tpu,cpu")
+    assert not _axon_leads("cpu,axon")  # axon present but not leading
+    assert not _axon_leads("")
+    assert not _axon_leads(" , ")
+
+
 def test_dryrun_multichip_as_the_driver_runs_it():
     """Byte-for-byte the driver command: fresh process, repo cwd, axon env.
 

@@ -30,6 +30,39 @@ class TestPartSegmentation:
         assert parts.max() <= 6 and parts.min() >= 0
         assert (parts > 0).mean() > 0.03
 
+    def test_seam_face_never_paints_third_label(self):
+        """A face whose corners carry NON-ADJACENT part labels (torso=2,
+        right-leg=5) must only paint those labels: barycentric blending of
+        the integer channel would round interior pixels to 3/4 (arms).
+        Pins the one-hot+argmax formulation (round-5 fix)."""
+        import dataclasses
+
+        base = synthetic_smpl_assets()
+        lbs = np.zeros_like(base.lbs_weights)
+        # joint 0 -> part 2 (torso); joint 8 (R ankle) -> part 5 (R leg)
+        lbs[0, 0] = 1.0
+        lbs[1, 8] = 1.0
+        lbs[2, 8] = 1.0
+        vt = np.array(base.v_template)
+        # one big triangle facing the camera, centered
+        vt[0] = [-0.8, -0.8, 0.0]
+        vt[1] = [0.8, -0.8, 0.0]
+        vt[2] = [0.0, 0.9, 0.0]
+        assets = dataclasses.replace(
+            base,
+            lbs_weights=lbs.astype(base.lbs_weights.dtype),
+            v_template=vt.astype(base.v_template.dtype),
+            faces=np.array([[0, 1, 2]], np.int32),
+        )
+        labels = vertex_part_labels(assets)
+        assert set(labels[:3].tolist()) == {2, 5}
+        verts = jnp.asarray(vt[None])
+        cam = jnp.asarray([[1.0, 0.0, 0.0]])
+        parts = np.asarray(render_part_segmentation(assets, verts, cam, (64, 64)))
+        got = set(np.unique(parts).tolist())
+        assert (parts > 0).mean() > 0.1  # the triangle actually rendered
+        assert got <= {0, 2, 5}, got  # no third label from blending
+
     def test_metrics_perfect_and_disjoint(self, rng):
         gt = rng.randint(0, 7, (32, 32))
         m = segmentation_metrics(gt, gt)

@@ -343,18 +343,20 @@ class TestCoalescing:
         coalescing path; /stats accounts for every request."""
         url, _, ex = server
         before = dict(ex.stats)
-        rng = np.random.RandomState(4)
+        # results come back to the MAIN thread for assertion: an
+        # AssertionError inside a worker thread only kills that thread
+        # and pytest never sees it (and RandomState is not thread-safe
+        # to share, so each client gets its own)
+        results = [None] * 4
 
         def post_one(seed):
+            rng = np.random.RandomState(seed)
             img = rng.randint(0, 255, (180, 180, 3), np.uint8)
             buf = io.BytesIO()
             np.savez(buf, image=img,
                      bboxes=np.array([[90.0, 90.0, 100.0]], np.float32))
             status, _, body = _post(url + "/infer", buf.getvalue())
-            assert status == 200
-            out = np.load(io.BytesIO(body))
-            assert int(out["n_people"]) == 1
-            assert np.isfinite(out["verts"]).all()
+            results[seed] = (status, body)
 
         threads = [threading.Thread(target=post_one, args=(i,))
                    for i in range(4)]
@@ -363,6 +365,13 @@ class TestCoalescing:
         for t in threads:
             t.join(timeout=300)
         assert not any(t.is_alive() for t in threads)
+        for r in results:
+            assert r is not None
+            status, body = r
+            assert status == 200
+            out = np.load(io.BytesIO(body))
+            assert int(out["n_people"]) == 1
+            assert np.isfinite(out["verts"]).all()
 
         assert ex.stats["requests"] - before["requests"] == 4
         made = ex.stats["device_batches"] - before["device_batches"]

@@ -268,3 +268,41 @@ class TestTrainer:
         result = validate(trainer.state)
         assert result["count"] == 4
         assert np.isfinite(result["pa_mpjpe"])
+
+    def test_validate_consumes_global_pose(self, tmp_path):
+        """World-frame protocol: validation GT joints come from
+        'global_pose', not the crop-local 'pose' (the mismatch whmr-eval
+        hard-aborts on; a validate-side key filter once dropped it and
+        silently scored world predictions against camera-frame GT). Two
+        batches identical except for global_pose must score different
+        MPJPE — under the dropped-key bug both fall back to 'pose' and
+        score identically."""
+        import scipy.spatial.transform as sst
+
+        from whmr_tpu.utils.testing import make_example_train_batch
+
+        cfg = tiny_config()
+        trainer = Trainer(cfg, str(tmp_path / "runv"), aux_rendering=False)
+        base = make_example_train_batch(cfg, 4, seed=7)
+        rot = np.broadcast_to(
+            sst.Rotation.from_euler("x", 25, degrees=True).as_matrix(),
+            (4, 3, 3),
+        ).astype(np.float32)
+        gp = np.array(base["pose"], np.float32).copy()
+        gp[:, 0] += 0.6  # world orient differs from the crop-local pose
+
+        def with_gp(g):
+            b = dict(base)
+            b["cam_rotmat"] = rot
+            b["global_pose"] = g
+            return lambda: [b]
+
+        r_world = trainer.make_validate_fn(with_gp(gp))(trainer.state)
+        r_local = trainer.make_validate_fn(
+            with_gp(np.array(base["pose"], np.float32))
+        )(trainer.state)
+        assert np.isfinite(r_world["mpjpe"]) and np.isfinite(r_local["mpjpe"])
+        assert abs(r_world["mpjpe"] - r_local["mpjpe"]) > 1e-3, (
+            "global_pose did not reach the eval step — validation is "
+            "scoring against the camera-frame 'pose' fallback"
+        )
