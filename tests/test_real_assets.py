@@ -136,11 +136,18 @@ class TestDensePoseMat:
         assets = synthetic_smpl_assets()
         v = assets.v_template.shape[0]
         rng = np.random.RandomState(0)
-        # DensePose-style: 10 dp-verts mapped onto SMPL verts, 4 faces
+        # DensePose-style: 10 dp-verts mapped onto SMPL verts, 4 faces.
+        # PART-PURE like the real chart (each dp vertex belongs to one
+        # chart): faces draw corners within a per-part vertex group —
+        # build_render_consts now REJECTS impure mats at load.
         n_dp, n_f = 10, 4
         all_vertices = rng.choice(v, n_dp, replace=False) + 1  # 1-based
-        faces = rng.randint(1, n_dp + 1, (n_f, 3))             # 1-based
-        part = rng.randint(1, 25, n_f)
+        groups = [np.arange(1, 6), np.arange(6, 11)]           # 1-based dp ids
+        group_part = rng.choice(np.arange(1, 25), 2, replace=False)
+        faces = np.stack([
+            rng.choice(groups[i % 2], 3, replace=False) for i in range(n_f)
+        ])                                                     # 1-based
+        part = np.array([group_part[i % 2] for i in range(n_f)])
         u = rng.uniform(0, 1, n_dp)
         vv = rng.uniform(0, 1, n_dp)
         mat = str(tmp_path / "UV_Processed.mat")
@@ -177,3 +184,30 @@ class TestDensePoseMat:
         got = {tuple(sorted(f)) for f in np.asarray(consts.faces).tolist()}
         want_faces = {tuple(sorted(f)) for f in (faces - 1).tolist()}
         assert got == want_faces
+
+    def test_impure_mat_rejected(self, tmp_path):
+        """A .mat where one dp vertex is shared by faces of different
+        parts violates the part-pure invariant (seam labels would blend);
+        build_render_consts must refuse it at load, not degrade silently."""
+        import scipy.io
+
+        import pytest
+
+        from whmr_tpu.training.gt_renderer import build_render_consts
+
+        assets = synthetic_smpl_assets()
+        mat = str(tmp_path / "bad.mat")
+        scipy.io.savemat(mat, {
+            "All_vertices": np.arange(1, 4).reshape(1, -1),
+            "All_FaceIndices": np.array([[1], [9]]),
+            "All_U_norm": np.zeros((3, 1)),
+            "All_V_norm": np.zeros((3, 1)),
+            # both faces share dp verts but carry different parts
+            "All_Faces": np.array([[1, 2, 3], [1, 3, 2]]),
+        })
+        with pytest.raises(ValueError, match="part-pure"):
+            build_render_consts(assets, densepose_mat=mat)
+        with pytest.raises(FileNotFoundError):
+            build_render_consts(
+                assets, densepose_mat=str(tmp_path / "missing.mat")
+            )

@@ -94,7 +94,14 @@ def build_render_consts(
     so the train step adds no extra matmul.
     """
     v = assets.v_template.shape[0]
-    if densepose_mat and os.path.exists(densepose_mat):
+    if densepose_mat and not os.path.exists(densepose_mat):
+        # an explicitly-requested real chart must not silently degrade to
+        # the synthetic fallback (the two charts' part/U/V semantics are
+        # incompatible as supervision targets)
+        raise FileNotFoundError(
+            f"densepose_mat {densepose_mat!r} does not exist"
+        )
+    if densepose_mat:
         import scipy.io
 
         dp = scipy.io.loadmat(densepose_mat)
@@ -115,6 +122,20 @@ def build_render_consts(
         vert_pid = np.zeros(all_vertices.shape[0], np.float32)
         flat_rev = faces_dp.reshape(-1)[::-1]
         vert_pid[flat_rev] = np.repeat(face_part, 3)[::-1]
+        # Part purity is a property of the DATA here (each dp sample
+        # belongs to one chart), not of the construction like the
+        # synthetic/sub paths — assert it so a malformed .mat cannot
+        # silently reintroduce seam blending (CLAUDE.md invariant).
+        # (vert_pid is single-valued per dp vertex by construction, so the
+        # violation shows as a face whose corners' assigned part differs
+        # from the face's OWN part — not as intra-row disagreement)
+        fp_check = vert_pid[faces_dp] == face_part[:, None]
+        if not fp_check.all():
+            bad = int((~fp_check).any(axis=1).sum())
+            raise ValueError(
+                f"densepose_mat {densepose_mat!r} is not part-pure: {bad} "
+                "faces span multiple charts (corrupt or non-DensePose data)"
+            )
         vert_iuv = np.stack(
             [vert_pid / 24.0, u_norm, v_norm], axis=-1
         ).astype(np.float32)
@@ -169,10 +190,18 @@ def build_render_consts(
             & (msub[:, 1] != msub[:, 2])
             & (msub[:, 0] != msub[:, 2])
         )
-        # Orientation-agnostic dedup: faces that collapse onto the same sub
-        # triangle shade identically (the rasterizer has no backface cull),
-        # so keeping one copy halves redundant coverage work.
-        faces_np = np.unique(np.sort(mapped[keep], axis=1), axis=0)
+        # Dedup per GEOMETRIC sub triangle (sorted SUB-vertex triple), not
+        # per render-id triple: two source faces of DIFFERENT parts can
+        # collapse onto the same sub triangle, and keeping both would put
+        # exactly-coincident coplanar faces in the topology — every
+        # covered pixel z-ties bit-exactly and the Pallas kernel AVERAGES
+        # exact ties (rasterizer_pallas win/cnt), blending the two part
+        # channels into the very seam labels this construction exists to
+        # prevent (the XLA path's first-wins argmin would mask it).
+        # np.unique's first-occurrence keeps a deterministic winner.
+        mk, msk = mapped[keep], np.sort(msub[keep], axis=1)
+        _, first = np.unique(msk, axis=0, return_index=True)
+        faces_np = mk[np.sort(first)]
         vertex_map = new_map
         template = pooled
         source_verts = pooled.shape[0]
@@ -208,6 +237,16 @@ def render_gt_maps(
     topology via consts.vertex_map (the reference's `verts[:,
     vert_mapping]`, renderer.py:434-437).
     """
+    if gt_vertices.shape[1] != consts.source_verts:
+        # jnp.take would CLIP out-of-range indices into a finite but
+        # geometrically garbage render; fail loudly at the one place that
+        # owns the render-verts-vs-source-verts contract (train_step has
+        # its own config-level check; other callers get this one)
+        raise ValueError(
+            f"gt_vertices has {gt_vertices.shape[1]} vertices but "
+            f"render consts source {consts.source_verts} (full vs sub "
+            "mesh mismatch between build_render_consts and the caller)"
+        )
     render_verts = jnp.take(gt_vertices, jnp.asarray(consts.vertex_map), axis=1)
     vp, vz = project_weak_perspective_to_pixels(
         render_verts, gt_camera, heatmap_size

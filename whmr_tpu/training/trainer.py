@@ -78,8 +78,22 @@ class Trainer:
         self.regressor = regressor
         assets = get_assets(data_dir)
         self.consts = body_consts_from_assets(assets)
+        # Real DensePose chart when present (reference
+        # densepose_methods.py:17 reads data/UV_data/UV_Processed.mat):
+        # annotated uvia_gt samples and rendered GT maps must share one
+        # chart, so auto-discover it next to the SMPL assets rather than
+        # silently training the IUV head on the synthetic fallback chart.
+        dp_mat = None
+        root = data_dir or os.environ.get("WHMR_DATA_DIR", "")
+        if root:
+            cand = os.path.join(root, "UV_data", "UV_Processed.mat")
+            if os.path.exists(cand):
+                dp_mat = cand
+                print(f"[trainer] DensePose chart: {cand}", flush=True)
         self.render_consts = (
-            build_render_consts(assets, mesh=cfg.pymaf.gt_render_mesh)
+            build_render_consts(
+                assets, densepose_mat=dp_mat, mesh=cfg.pymaf.gt_render_mesh
+            )
             if (regressor == "pymaf_net" and aux_rendering
                 and (cfg.pymaf.aux_supv_on or cfg.pymaf.depth_supv_on))
             else None
